@@ -1,0 +1,429 @@
+"""Task builders: bind each model family to the jitted train harness.
+
+These replace the reference's LightningModules (EvidentialProbeModule,
+DisentangledEvidentialProbeModule, LateFusion, IntermediateFusion, DMVAE,
+DisentangledSSL training plumbing) with pure loss/val closures plus an
+``evidences_fn`` the evaluation engine consumes.
+
+Optimizer settings mirror the reference exactly:
+  * DMVAE: Adam + CosineAnnealingLR(T_max=num_epochs, eta_min=0)
+    (dmvae.py:204-210)
+  * EvidentialProbe: AdamW(wd=1e-4) + Cosine(eta_min=1e-6)
+    (evidential_probe.py:205-212)
+  * DisentangledProbe: AdamW(default wd=0.01) + Plateau(f=0.1, patience=5)
+    (evidential_probe.py:403-408)
+  * LateFusion: Adam + Plateau(f=0.1, patience=10) (baselines.py:143-150)
+  * IntermediateFusion: Adam + Plateau(f=0.1, patience=5)
+    (baselines.py:245-252)
+  * DisentangledSSL: Adam + Cosine(T_max=epochs) (disentangledssl.py:184-194)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.baselines import IntermediateFusion, LateFusion
+from ..models.disentangledssl import DisentangledSSL, disentangledssl_loss
+from ..models.dmvae import DMVAE
+from ..models.probes import DisentangledEvidentialProbe, EvidentialProbe
+from ..ops.dirichlet import avg_trusted_loss, single_evidential_loss
+from ..ops.evidence import AGGREGATIONS
+from .train import OptimizerConfig
+
+
+class EvidentialTask(NamedTuple):
+    """A trainable evidential classifier exposed to train() and eval."""
+
+    model: Any
+    params: Any
+    loss_fn: Callable
+    val_fn: Callable
+    evidences_fn: Callable  # (params, data_pytree) -> (B, V, C) evidences
+    aggregation: Callable   # (B, V, C) -> (B, C)
+    num_classes: int
+    optimizer: OptimizerConfig
+    has_shared: bool        # True if evidences[:, 0] is the shared view
+
+
+def _acc(evidence_a: jax.Array, y: jax.Array) -> jax.Array:
+    return jnp.mean((jnp.argmax(evidence_a, axis=-1) == y).astype(jnp.float32))
+
+
+# ------------------------------------------------------------------ DMVAE
+def build_dmvae_task(
+    *,
+    rng: jax.Array,
+    xs_sample: Sequence[jax.Array],
+    output_dim: Sequence[int],
+    dropout: float = 0.0,
+    a: float = 1.0,
+    hidden_dim: int = 512,
+    embed_dim: int = 100,
+    lr: float = 1e-4,
+    num_epochs: int = 50,
+    poe_temperature: float = 1.5,
+    cross_weight: float = 1.0,
+    lambda_per_modality: Optional[Sequence[float]] = None,
+    feature_encoders: Optional[Tuple] = None,
+):
+    """DMVAE backbone + its train-loss closure (reference: run.py:135-146)."""
+    model = DMVAE(
+        x_dims=tuple(output_dim),
+        hidden_dim=hidden_dim,
+        embed_dim=embed_dim,
+        dropout=dropout,
+        a=a,
+        poe_temperature=poe_temperature,
+        cross_weight=cross_weight,
+        lambda_per_modality=tuple(lambda_per_modality) if lambda_per_modality else None,
+        feature_encoders=feature_encoders,
+    )
+    k_init, k_noise = jax.random.split(rng)
+    xs_small = [x[:2] for x in xs_sample]
+    variables = model.init(
+        {"params": k_init, "noise": k_noise, "dropout": k_noise}, xs_small, train=True
+    )
+    params = variables["params"]
+
+    def loss_fn(params, batch, mask, t, key):
+        loss, logs = model.apply(
+            {"params": params},
+            batch["xs"],
+            train=True,
+            mask=mask,
+            rngs={"noise": key, "dropout": jax.random.fold_in(key, 1)},
+        )
+        return loss, logs
+
+    opt = OptimizerConfig(
+        name="adam", lr=lr, schedule="cosine", cosine_t_max=num_epochs, eta_min=0.0
+    )
+    return model, params, loss_fn, opt
+
+
+@partial(jax.jit, static_argnames=("backbone_model",))
+def embed_dataset(backbone_model: DMVAE, backbone_params, xs):
+    """Frozen-backbone embeddings, computed once (see probes.py docstring).
+
+    Returns (zc (B, D), zp (B, N, D)).
+    """
+    zc, zp_list = backbone_model.apply(
+        {"params": backbone_params}, xs, method=DMVAE.get_embedding
+    )
+    return zc, jnp.stack(zp_list, axis=1)
+
+
+# ------------------------------------------------------------------ probes
+def build_probe_task(
+    *,
+    rng: jax.Array,
+    num_modalities: int,
+    num_classes: int,
+    input_dim: int,
+    hidden_dim: Sequence[int] = (128,),
+    lr: float = 1e-4,
+    dropout: float = 0.3,
+    annealing_start: int = 20,
+    aggregation: str = "cml",
+    fused: float = 1.0,
+    num_epochs: int = 200,
+) -> EvidentialTask:
+    """Shared+private evidential probe (evidential_probe.py:11-212).
+
+    Data pytree: {'zc': (B, D), 'zp': (B, N, D), 'y': (B,)}.
+    """
+    model = EvidentialProbe(
+        num_modalities=num_modalities,
+        num_classes=num_classes,
+        input_dim=input_dim,
+        hidden_dim=tuple(hidden_dim),
+        dropout=dropout,
+    )
+    agg = AGGREGATIONS[aggregation]
+    zc0 = jnp.zeros((2, input_dim))
+    zp0 = [jnp.zeros((2, input_dim))] * num_modalities
+    params = model.init({"params": rng, "dropout": rng}, zc0, zp0, train=True)["params"]
+    num_views = 1 + num_modalities
+
+    def evidences(params, data, train=False, key=None):
+        zp_list = [data["zp"][:, i] for i in range(num_modalities)]
+        rngs = {"dropout": key} if train else None
+        return model.apply(
+            {"params": params}, data["zc"], zp_list, train=train, rngs=rngs
+        )
+
+    def loss_fn(params, batch, mask, t, key):
+        ev = evidences(params, batch, train=True, key=key)
+        ev_a = agg(ev)
+        loss = avg_trusted_loss(
+            ev, batch["y"], ev_a,
+            annealing_step=t.epoch, num_views=num_views,
+            annealing_start=annealing_start, fused=fused, mask=mask,
+        )
+        return loss, {}
+
+    def val_fn(params, data, t):
+        ev = evidences(params, data, train=False)
+        ev_a = agg(ev)
+        loss = avg_trusted_loss(
+            ev, data["y"], ev_a,
+            annealing_step=t.epoch, num_views=num_views,
+            annealing_start=annealing_start, fused=fused,
+        )
+        return loss, _acc(ev_a, data["y"])
+
+    opt = OptimizerConfig(
+        name="adamw", lr=lr, weight_decay=1e-4,
+        schedule="cosine", cosine_t_max=num_epochs, eta_min=1e-6,
+    )
+    return EvidentialTask(
+        model, params, loss_fn, val_fn,
+        jax.jit(lambda p, d: evidences(p, d, train=False)), agg,
+        num_classes, opt, has_shared=True,
+    )
+
+
+def build_disentangled_probe_task(
+    *,
+    rng: jax.Array,
+    num_modalities: int,
+    num_classes: int,
+    input_dim: int,
+    hidden_dim: Sequence[int] = (128,),
+    lr: float = 1e-4,
+    dropout: float = 0.3,
+    annealing_start: int = 20,
+    aggregation: str = "cml",
+    num_epochs: int = 200,
+) -> EvidentialTask:
+    """Private-only probe (evidential_probe.py:214-408)."""
+    if aggregation not in ("cml", "avg"):
+        raise ValueError("aggregation must be one of ['cml', 'avg']")
+    model = DisentangledEvidentialProbe(
+        num_modalities=num_modalities,
+        num_classes=num_classes,
+        input_dim=input_dim,
+        hidden_dim=tuple(hidden_dim),
+        dropout=dropout,
+    )
+    agg = AGGREGATIONS[aggregation]
+    zp0 = [jnp.zeros((2, input_dim))] * num_modalities
+    params = model.init({"params": rng, "dropout": rng}, zp0, train=True)["params"]
+
+    def evidences(params, data, train=False, key=None):
+        zp_list = [data["zp"][:, i] for i in range(num_modalities)]
+        rngs = {"dropout": key} if train else None
+        return model.apply({"params": params}, zp_list, train=train, rngs=rngs)
+
+    def loss_fn(params, batch, mask, t, key):
+        ev = evidences(params, batch, train=True, key=key)
+        ev_a = agg(ev)
+        loss = avg_trusted_loss(
+            ev, batch["y"], ev_a,
+            annealing_step=t.epoch, num_views=num_modalities,
+            annealing_start=annealing_start, fused=1.0, mask=mask,
+        )
+        return loss, {}
+
+    def val_fn(params, data, t):
+        ev = evidences(params, data, train=False)
+        ev_a = agg(ev)
+        loss = avg_trusted_loss(
+            ev, data["y"], ev_a,
+            annealing_step=t.epoch, num_views=num_modalities,
+            annealing_start=annealing_start, fused=1.0,
+        )
+        return loss, _acc(ev_a, data["y"])
+
+    opt = OptimizerConfig(
+        name="adamw", lr=lr, weight_decay=0.01,
+        schedule="plateau", plateau_factor=0.1, plateau_patience=5,
+    )
+    return EvidentialTask(
+        model, params, loss_fn, val_fn,
+        jax.jit(lambda p, d: evidences(p, d, train=False)), agg,
+        num_classes, opt, has_shared=False,
+    )
+
+
+# ------------------------------------------------------------------ baselines
+def build_late_fusion_task(
+    *,
+    rng: jax.Array,
+    output_dims: Sequence[int],
+    num_classes: int,
+    hidden_dim: Sequence[int] = (128,),
+    dropout: float = 0.3,
+    lr: float = 1e-4,
+    annealing_start: int = 20,
+    aggregation: str = "cml",
+    fused: float = 1.0,
+    feature_encoders: Optional[Tuple] = None,
+) -> EvidentialTask:
+    """Per-view evidential heads on raw views (baselines.py:12-150).
+
+    Data pytree: {'xs': tuple of N (B, S_i), 'y': (B,)}.
+    """
+    model = LateFusion(
+        output_dims=tuple(output_dims),
+        num_classes=num_classes,
+        hidden_dim=tuple(hidden_dim),
+        dropout=dropout,
+        feature_encoders=feature_encoders,
+    )
+    agg = AGGREGATIONS[aggregation]
+    xs0 = [jnp.zeros((2, d)) for d in output_dims]
+    variables = model.init({"params": rng, "dropout": rng}, xs0, train=True)
+    params = variables["params"]
+    num_views = len(output_dims)
+
+    def evidences(params, data, train=False, key=None):
+        rngs = {"dropout": key} if train else None
+        return model.apply({"params": params}, data["xs"], train=train, rngs=rngs)
+
+    def loss_fn(params, batch, mask, t, key):
+        ev = evidences(params, batch, train=True, key=key)
+        ev_a = agg(ev)
+        loss = avg_trusted_loss(
+            ev, batch["y"], ev_a,
+            annealing_step=t.epoch, num_views=num_views,
+            annealing_start=annealing_start, fused=fused, mask=mask,
+        )
+        return loss, {}
+
+    def val_fn(params, data, t):
+        ev = evidences(params, data, train=False)
+        ev_a = agg(ev)
+        loss = avg_trusted_loss(
+            ev, data["y"], ev_a,
+            annealing_step=t.epoch, num_views=num_views,
+            annealing_start=annealing_start, fused=fused,
+        )
+        return loss, _acc(ev_a, data["y"])
+
+    opt = OptimizerConfig(
+        name="adam", lr=lr, schedule="plateau", plateau_factor=0.1, plateau_patience=10
+    )
+    return EvidentialTask(
+        model, params, loss_fn, val_fn,
+        jax.jit(lambda p, d: evidences(p, d, train=False)), agg,
+        num_classes, opt, has_shared=False,
+    )
+
+
+def build_intermediate_fusion_task(
+    *,
+    rng: jax.Array,
+    output_dims: Sequence[int],
+    num_classes: int,
+    hidden_dim: int = 32,
+    dropout: float = 0.3,
+    lr: float = 1e-4,
+    annealing_start: int = 20,
+    feature_encoders: Optional[Tuple] = None,
+) -> EvidentialTask:
+    """Concat fusion -> single head (baselines.py:153-252)."""
+    model = IntermediateFusion(
+        output_dims=tuple(output_dims),
+        num_classes=num_classes,
+        hidden_dim=hidden_dim,
+        dropout=dropout,
+        feature_encoders=feature_encoders,
+    )
+    xs0 = [jnp.zeros((2, d)) for d in output_dims]
+    params = model.init({"params": rng, "dropout": rng}, xs0, train=True)["params"]
+
+    def evidence(params, data, train=False, key=None):
+        rngs = {"dropout": key} if train else None
+        return model.apply({"params": params}, data["xs"], train=train, rngs=rngs)
+
+    def loss_fn(params, batch, mask, t, key):
+        ev = evidence(params, batch, train=True, key=key)
+        loss = single_evidential_loss(
+            ev, batch["y"], annealing_step=t.epoch,
+            annealing_start=annealing_start, mask=mask,
+        )
+        return loss, {}
+
+    def val_fn(params, data, t):
+        ev = evidence(params, data, train=False)
+        loss = single_evidential_loss(
+            ev, data["y"], annealing_step=t.epoch, annealing_start=annealing_start
+        )
+        return loss, _acc(ev, data["y"])
+
+    opt = OptimizerConfig(
+        name="adam", lr=lr, schedule="plateau", plateau_factor=0.1, plateau_patience=5
+    )
+    return EvidentialTask(
+        model, params, loss_fn, val_fn,
+        jax.jit(lambda p, d: evidence(p, d, train=False)[:, None, :]),  # (B, 1, C)
+        lambda ev: ev[:, 0, :],
+        num_classes, opt, has_shared=False,
+    )
+
+
+# ------------------------------------------------------------------ SSL
+def build_disentangledssl_task(
+    *,
+    rng: jax.Array,
+    output_dim: Sequence[int],
+    hidden_dim: int = 512,
+    embed_dim: int = 100,
+    a: float = 1.0,
+    distribution: str = "vmf",
+    vmfkappa: float = 1.0,
+    lr: float = 1e-4,
+    lmd_start_value: float = 0.0,
+    lmd_end_value: float = 0.0,
+    lmd_n_iterations: int = 8000,
+    lmd_start_iteration: int = 0,
+    condzs: bool = True,
+    usezsx: bool = False,
+    epochs: int = 50,
+    feature_encoders: Optional[Tuple] = None,
+):
+    """DisentangledSSL backbone (disentangledssl.py:17-194)."""
+    model = DisentangledSSL(
+        output_dim=tuple(output_dim),
+        hidden_dim=hidden_dim,
+        embed_dim=embed_dim,
+        a=a,
+        distribution=distribution,
+        vmfkappa=vmfkappa,
+        lmd_start_value=lmd_start_value,
+        lmd_end_value=lmd_end_value,
+        lmd_n_iterations=lmd_n_iterations,
+        lmd_start_iteration=lmd_start_iteration,
+        condzs=condzs,
+        usezsx=usezsx,
+        feature_encoders=feature_encoders,
+    )
+    x0 = [jnp.zeros((4, d)) for d in output_dim]
+    params = model.init(
+        {"params": rng, "noise": rng, "dropout": rng},
+        x0[0], x0[1], x0[0], x0[1], 0, train=True,
+    )["params"]
+
+    def loss_fn(params, batch, mask, t, key):
+        # SupCon couples all rows of the batch; padded tail rows would change
+        # the loss, so SSL training uses drop_last=True (reference uses
+        # full batches too).
+        del mask
+        loss, logs = disentangledssl_loss(model, params, batch["xs"], t.step, key)
+        return loss, logs
+
+    opt = OptimizerConfig(
+        name="adam", lr=lr, schedule="cosine", cosine_t_max=epochs, eta_min=0.0
+    )
+    return model, params, loss_fn, opt
+
+
+def embed_dataset_ssl(model: DisentangledSSL, params, xs):
+    """(Zc, Zp) embeddings for probes over a DisentangledSSL backbone."""
+    zc, zp_list = model.apply({"params": params}, xs, method=DisentangledSSL.get_embedding)
+    return zc, jnp.stack(zp_list, axis=1)

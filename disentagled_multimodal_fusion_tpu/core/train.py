@@ -1,0 +1,205 @@
+"""Device-resident training harness: the whole run is ONE jitted program.
+
+Why this shape (vs the reference's PyTorch-Lightning loop): the reference's
+datasets are tiny (<= ~25k rows, <= 3072 features) and its models are
+KB-scale MLPs, so its wall-clock is dominated by Python/Lightning per-step
+overhead (reference: run.py:199-249 drives ~100-200 epochs x ~20 steps per
+fit). Here the full dataset lives in device memory and training is
+
+    lax.scan over epochs
+      -> per-epoch shuffle via jax.random.permutation
+      -> lax.scan over fixed-shape batches (tail batch padded + masked)
+      -> optional per-epoch validation pass (for plateau LR + histories)
+
+compiled once by XLA. Losses use masked means so padded tail batches
+reproduce the exact ragged-batch means PyTorch computes
+(drop_last False/True both supported).
+
+Functional equivalents of the reference's stateful pieces:
+  * ``criterion.annealing_step += 1`` per epoch (evidential_probe.py:124)
+    -> the epoch index is passed into the loss.
+  * torch CosineAnnealingLR stepped per epoch (dmvae.py:204-210,
+    evidential_probe.py:205-212) -> closed-form lr(epoch).
+  * torch ReduceLROnPlateau on val_loss (evidential_probe.py:403-408,
+    baselines.py:143-150) -> (lr, best, bad) carried through the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Optimizer + per-epoch LR schedule.
+
+    name: 'adam' (torch.optim.Adam defaults) or 'adamw' (decoupled decay).
+    schedule: 'constant' | 'cosine' | 'plateau'.
+    """
+
+    name: str = "adam"
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    schedule: str = "constant"
+    cosine_t_max: int = 100
+    eta_min: float = 0.0
+    plateau_factor: float = 0.1
+    plateau_patience: int = 10
+    plateau_threshold: float = 1e-4
+    min_lr: float = 0.0
+
+
+class StepInfo(NamedTuple):
+    """Functional replacement for the reference's stateful counters:
+    ``epoch`` mirrors ``criterion.annealing_step`` (incremented per epoch),
+    ``step`` mirrors DisentangledSSL's ``self.iterations`` (per train step).
+    """
+
+    epoch: jax.Array
+    step: jax.Array
+
+
+class TrainResult(NamedTuple):
+    params: Any
+    train_loss: jax.Array  # (E,) per-epoch mean train loss
+    val_loss: jax.Array    # (E,) per-epoch val loss (nan if no val)
+    val_acc: jax.Array     # (E,) per-epoch val accuracy (nan if no val)
+    final_lr: jax.Array
+
+
+def _make_tx(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    """Adam/AdamW core; the LR is applied separately so schedules can live
+    in the scan carry."""
+    parts = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)]
+    if cfg.name == "adamw" and cfg.weight_decay > 0:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    elif cfg.name == "adam" and cfg.weight_decay > 0:
+        # torch Adam couples decay into the gradient.
+        raise NotImplementedError("coupled L2 for Adam not needed by the reference")
+    parts.append(optax.scale(-1.0))
+    return optax.chain(*parts)
+
+
+def _cosine_lr(cfg: OptimizerConfig, epoch: jax.Array) -> jax.Array:
+    """torch CosineAnnealingLR value after `epoch` per-epoch steps."""
+    t = jnp.asarray(epoch, jnp.float32)
+    return cfg.eta_min + (cfg.lr - cfg.eta_min) * (
+        1.0 + jnp.cos(jnp.pi * t / cfg.cosine_t_max)
+    ) / 2.0
+
+
+def _plateau_update(cfg: OptimizerConfig, state, metric):
+    """torch ReduceLROnPlateau (mode='min', threshold_mode='rel')."""
+    lr, best, bad = state
+    is_better = metric < best * (1.0 - cfg.plateau_threshold)
+    best = jnp.where(is_better, metric, best)
+    bad = jnp.where(is_better, 0, bad + 1)
+    reduce = bad > cfg.plateau_patience
+    lr = jnp.where(reduce, jnp.maximum(lr * cfg.plateau_factor, cfg.min_lr), lr)
+    bad = jnp.where(reduce, 0, bad)
+    return lr, best, bad
+
+
+def _epoch_batches(key, n: int, batch_size: int, drop_last: bool, shuffle: bool):
+    """Static-shape batch plan: (steps, B) indices + (steps, B) {0,1} mask."""
+    if drop_last:
+        steps = n // batch_size
+        total = steps * batch_size
+    else:
+        steps = -(-n // batch_size)
+        total = steps * batch_size
+    perm = jax.random.permutation(key, n) if shuffle else jnp.arange(n)
+    pad = total - n
+    idx = jnp.concatenate([perm, jnp.zeros(pad, perm.dtype)]) if pad > 0 else perm[:total]
+    mask = jnp.concatenate(
+        [jnp.ones(min(n, total), jnp.float32), jnp.zeros(max(pad, 0), jnp.float32)]
+    )[:total]
+    return idx.reshape(steps, batch_size), mask.reshape(steps, batch_size)
+
+
+def train(
+    *,
+    rng: jax.Array,
+    params: Any,
+    loss_fn: Callable,
+    data: Any,
+    n_train: int,
+    optimizer: OptimizerConfig,
+    epochs: int,
+    batch_size: int,
+    drop_last: bool = False,
+    shuffle: bool = True,
+    val_fn: Optional[Callable] = None,
+    val_data: Any = None,
+    donate: bool = True,
+) -> TrainResult:
+    """Run a full training job as one jitted scan.
+
+    loss_fn(params, batch, mask, epoch, rng) -> scalar loss. ``batch`` is the
+    pytree ``data`` gathered at the (B,) batch indices; ``mask`` is (B,) 0/1.
+    val_fn(params, val_data, epoch) -> (val_loss, val_acc), computed on the
+    full validation pytree (tiny datasets -> single fused forward).
+    """
+    tx = _make_tx(optimizer)
+    opt_state = tx.init(params)
+    plateau_state = (
+        jnp.float32(optimizer.lr),
+        jnp.float32(jnp.inf),
+        jnp.int32(0),
+    )
+
+    def lr_for_epoch(epoch, plateau_lr):
+        if optimizer.schedule == "cosine":
+            return _cosine_lr(optimizer, epoch)
+        if optimizer.schedule == "plateau":
+            return plateau_lr
+        return jnp.float32(optimizer.lr)
+
+    def step_fn(carry, batch_plan):
+        params, opt_state, lr, epoch, gstep = carry
+        idx, mask, key = batch_plan
+        batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, mask, StepInfo(epoch, gstep), key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, lr, epoch, gstep + 1), loss
+
+    def epoch_fn(carry, epoch):
+        params, opt_state, key, plateau, gstep = carry
+        key, k_perm, k_steps = jax.random.split(key, 3)
+        idx, mask = _epoch_batches(k_perm, n_train, batch_size, drop_last, shuffle)
+        step_keys = jax.random.split(k_steps, idx.shape[0])
+        lr = lr_for_epoch(epoch, plateau[0])
+        (params, opt_state, _, _, gstep), losses = jax.lax.scan(
+            step_fn, (params, opt_state, lr, epoch, gstep), (idx, mask, step_keys)
+        )
+        # Weight per-batch means by valid counts for the exact epoch mean.
+        counts = jnp.sum(mask, axis=1)
+        train_loss = jnp.sum(losses * counts) / jnp.sum(counts)
+
+        if val_fn is not None:
+            val_loss, val_acc = val_fn(params, val_data, StepInfo(epoch, gstep))
+            plateau = _plateau_update(optimizer, plateau, val_loss)
+        else:
+            val_loss = jnp.float32(jnp.nan)
+            val_acc = jnp.float32(jnp.nan)
+        return (params, opt_state, key, plateau, gstep), (train_loss, val_loss, val_acc)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def run(carry):
+        return jax.lax.scan(epoch_fn, carry, jnp.arange(epochs))
+
+    carry = (params, opt_state, rng, plateau_state, jnp.int32(0))
+    (params, _, _, plateau, _), (tl, vl, va) = run(carry)
+    return TrainResult(params=params, train_loss=tl, val_loss=vl, val_acc=va,
+                       final_lr=plateau[0])

@@ -1,0 +1,238 @@
+"""Subjective-model evaluation + results flattening.
+
+Reference semantics: analysis.py:6-598. The reference streams over a
+DataLoader accumulating Python floats; here the whole test set is evaluated
+in ONE jitted call (accuracy, evidence/epistemic/aleatoric means,
+incorrect-only breakdowns, per-class evidence tables) and only the final
+scalars come back to the host. Output dict schema and the flattened
+DataFrame column names match the reference exactly so downstream Excel/CSV
+sheets are drop-in comparable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..ops.dirichlet import dirichlet_uncertainties
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def _block_metrics(ev: jax.Array, target: jax.Array, num_classes: int):
+    """Metrics for one evidence block (B, C) (analysis.py:88-152)."""
+    n = ev.shape[0]
+    ev_scalar = jnp.sum(ev, axis=-1)
+    epi, ale = dirichlet_uncertainties(ev, num_classes)
+    preds = jnp.argmax(ev, axis=-1)
+    correct = (preds == target).astype(jnp.float32)
+    incorrect = 1.0 - correct
+    inc_n = jnp.sum(incorrect)
+    safe_inc = jnp.maximum(inc_n, 1.0)
+    return {
+        "accuracy": jnp.mean(correct),
+        "evidence_mean": jnp.mean(ev_scalar),
+        "epistemic_mean": jnp.mean(epi),
+        "aleatoric_mean": jnp.mean(ale),
+        "incorrect_only": {
+            # matches the reference's 0.0 default when everything is correct
+            "evidence_mean": jnp.where(inc_n > 0, jnp.sum(ev_scalar * incorrect) / safe_inc, 0.0),
+            "epistemic_mean": jnp.where(inc_n > 0, jnp.sum(epi * incorrect) / safe_inc, 0.0),
+            "aleatoric_mean": jnp.where(inc_n > 0, jnp.sum(ale * incorrect) / safe_inc, 0.0),
+        },
+    }
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def _per_class_evidence(ev: jax.Array, target: jax.Array, num_classes: int):
+    """Unconditional + true-class per-class evidence means
+    (analysis.py:112-121, 168-176)."""
+    n = ev.shape[0]
+    uncond = jnp.sum(ev, axis=0) / max(n, 1)
+    onehot = jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
+    class_counts = jnp.sum(onehot, axis=0)
+    true_ev = jnp.take_along_axis(ev, target[:, None], axis=1)[:, 0]
+    true_sum = jnp.sum(onehot * true_ev[:, None], axis=0)
+    truecls = true_sum / jnp.clip(class_counts, 1e-12)
+    return uncond, truecls
+
+
+def _to_py(tree):
+    return jax.tree.map(lambda a: float(a) if np.ndim(a) == 0 else np.asarray(a).tolist(), tree)
+
+
+def evaluate_evidences(
+    evidences: jax.Array,
+    fused: jax.Array,
+    target: jax.Array,
+    num_classes: int,
+    has_shared: bool,
+) -> Dict[str, Any]:
+    """Full evaluation given stacked evidences (N, V, C) and fused (N, C)."""
+    v = evidences.shape[1]
+    fused_block = _to_py(_block_metrics(fused, target, num_classes))
+    f_unc, f_tc = _per_class_evidence(fused, target, num_classes)
+
+    blocks = [_to_py(_block_metrics(evidences[:, i], target, num_classes)) for i in range(v)]
+    pcs = [_per_class_evidence(evidences[:, i], target, num_classes) for i in range(v)]
+
+    if has_shared:
+        # evidences[:, 0] is the shared head (analysis.py:194-399).
+        return {
+            "shared": blocks[0],
+            "per_view": blocks[1:],
+            "fused": fused_block,
+            "per_class_evidence": {
+                "unconditional": {
+                    "shared": np.asarray(pcs[0][0]).tolist(),
+                    "per_view": [np.asarray(p[0]).tolist() for p in pcs[1:]],
+                    "fused": np.asarray(f_unc).tolist(),
+                },
+                "true_class": {
+                    "shared": np.asarray(pcs[0][1]).tolist(),
+                    "per_view": [np.asarray(p[1]).tolist() for p in pcs[1:]],
+                    "fused": np.asarray(f_tc).tolist(),
+                },
+            },
+        }
+    # all views are "specific" (analysis.py:6-192)
+    return {
+        "per_view": blocks,
+        "fused": fused_block,
+        "per_class_evidence": {
+            "unconditional": {
+                "per_view": [np.asarray(p[0]).tolist() for p in pcs],
+                "fused": np.asarray(f_unc).tolist(),
+            },
+            "true_class": {
+                "per_view": [np.asarray(p[1]).tolist() for p in pcs],
+                "fused": np.asarray(f_tc).tolist(),
+            },
+        },
+    }
+
+
+def evaluate_task(task, params, data) -> Dict[str, Any]:
+    """Evaluate an EvidentialTask on a full test pytree.
+
+    Equivalent to evaluate_subjective_model[_with_shared](model, test_loader)
+    — dispatches on ``task.has_shared`` like run.py:252-255 does by model
+    name.
+    """
+    evidences = task.evidences_fn(params, data)
+    fused = task.aggregation(evidences)
+    return evaluate_evidences(
+        evidences, fused, data["y"], task.num_classes, task.has_shared
+    )
+
+
+def evaluate_subjective_model(task, params, data):
+    """Per-view layout evaluator (analysis.py:6-192)."""
+    evidences = task.evidences_fn(params, data)
+    fused = task.aggregation(evidences)
+    return evaluate_evidences(evidences, fused, data["y"], task.num_classes, False)
+
+
+def evaluate_subjective_model_with_shared(task, params, data):
+    """[shared, views...] layout evaluator (analysis.py:194-399)."""
+    evidences = task.evidences_fn(params, data)
+    if evidences.shape[1] < 2:
+        raise ValueError("Expected at least one shared and one specific view (V >= 2).")
+    fused = task.aggregation(evidences)
+    return evaluate_evidences(evidences, fused, data["y"], task.num_classes, True)
+
+
+# -------------------------------------------------------------- flattening
+def _add_block(row: dict, prefix: str, block) -> None:
+    if not isinstance(block, dict):
+        return
+    for k in ["accuracy", "evidence_mean", "epistemic_mean", "aleatoric_mean"]:
+        if k in block:
+            row[f"{prefix}{k}"] = float(block[k])
+    inc = block.get("incorrect_only", {})
+    for k in ["evidence_mean", "epistemic_mean", "aleatoric_mean"]:
+        if k in inc:
+            row[f"{prefix}incorrect_only_{k}"] = float(inc[k])
+
+
+def _flatten_common(row: dict, sample_info: Dict[str, Any]) -> dict:
+    """Shared flattening body (analysis.py:420-480)."""
+    _add_block(row, "fused_", sample_info.get("fused", {}))
+    _add_block(row, "shared_", sample_info.get("shared", {}))
+    for i, v in enumerate(sample_info.get("per_view", [])):
+        _add_block(row, f"view_{i}_", v)
+
+    pce = sample_info.get("per_class_evidence", {})
+    uncond = pce.get("unconditional", {})
+    truec = pce.get("true_class", {})
+    for key, label in [("fused", "fused"), ("shared", "shared")]:
+        arr = uncond.get(key)
+        if isinstance(arr, (list, tuple)):
+            for k, val in enumerate(arr):
+                row[f"{label}_per_class_evidence_class_{k}"] = float(val)
+        arr = truec.get(key)
+        if isinstance(arr, (list, tuple)):
+            for k, val in enumerate(arr):
+                row[f"{label}_per_class_evidence_true_class_{k}"] = float(val)
+    for i, arr in enumerate(uncond.get("per_view", [])):
+        if isinstance(arr, (list, tuple)):
+            for k, val in enumerate(arr):
+                row[f"view_{i}_per_class_evidence_class_{k}"] = float(val)
+    for i, arr in enumerate(truec.get("per_view", [])):
+        if isinstance(arr, (list, tuple)):
+            for k, val in enumerate(arr):
+                row[f"view_{i}_per_class_evidence_true_class_{k}"] = float(val)
+    return row
+
+
+def flatten_sample_info(
+    sample_info: Dict[str, Any],
+    *,
+    seed: Union[int, str],
+    pct: Union[int, float, str],
+    model: str,
+) -> Dict[str, Any]:
+    """One tidy row per (seed, dep, model) (analysis.py:402-480)."""
+    return _flatten_common({"seed": seed, "dep": pct, "model": model}, sample_info)
+
+
+def flatten_sample_info_datasets(
+    sample_info: Dict[str, Any], *, seed, typ: str, ds: str, model: str
+) -> Dict[str, Any]:
+    """One tidy row per (seed, type, dataset, model) (analysis.py:519-598)."""
+    return _flatten_common(
+        {"seed": seed, "type": typ, "dataset": ds, "model": model}, sample_info
+    )
+
+
+def build_metrics_dataframe(nested) -> pd.DataFrame:
+    """nested[seed][pct][model] = sample_info (analysis.py:483-498)."""
+    rows = []
+    for seed, d_pct in nested.items():
+        for pct, d_model in d_pct.items():
+            for model, info in d_model.items():
+                rows.append(flatten_sample_info(info, seed=seed, pct=pct, model=model))
+    df = pd.DataFrame(rows)
+    id_cols = ["seed", "dep", "model"]
+    other = sorted(c for c in df.columns if c not in id_cols)
+    return df[id_cols + other]
+
+
+def build_metrics_dataframe_datasets(nested) -> pd.DataFrame:
+    """nested[seed][type][ds][model] = sample_info (analysis.py:501-517)."""
+    rows = []
+    for seed, d_typ in nested.items():
+        for typ, d_ds in d_typ.items():
+            for ds, d_model in d_ds.items():
+                for model, info in d_model.items():
+                    rows.append(
+                        flatten_sample_info_datasets(info, seed=seed, typ=typ, ds=ds, model=model)
+                    )
+    df = pd.DataFrame(rows)
+    id_cols = ["seed", "type", "dataset", "model"]
+    other = sorted(c for c in df.columns if c not in id_cols)
+    return df[id_cols + other]

@@ -1,0 +1,86 @@
+"""Late- and intermediate-fusion evidential baselines.
+
+Reference semantics: models/baselines.py:12-252.
+
+* ``LateFusion`` — per-modality feature encoder + EvidentialNN head on raw
+  views, aggregation in {cml, avg, dbf}, AvgTrustedLoss.
+* ``IntermediateFusion`` — concat-fused features -> one EvidentialNN head,
+  SingleEvidentialLoss.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import EvidentialNN, IdentityEncoder
+
+
+class LateFusion(nn.Module):
+    """Per-view evidential heads over feature encoders (baselines.py:12-70)."""
+
+    output_dims: Sequence[int]
+    num_classes: int = 42
+    hidden_dim: Sequence[int] = (32,)
+    dropout: float = 0.3
+    feature_encoders: Optional[Tuple[nn.Module, ...]] = None
+    dtype: Any = None
+
+    def setup(self):
+        n = len(self.output_dims)
+        if self.feature_encoders is not None:
+            assert len(self.feature_encoders) == n
+            self.feat_encs = self.feature_encoders
+        else:
+            self.feat_encs = tuple(IdentityEncoder() for _ in range(n))
+        self.heads = tuple(
+            EvidentialNN(
+                layers=(self.output_dims[i], *tuple(self.hidden_dim)),
+                output_dims=self.num_classes,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
+            for i in range(n)
+        )
+
+    def __call__(self, xs, train: bool = False):
+        """xs: list of N (B, S_i) raw views. Returns evidences (B, N, C)."""
+        evid = []
+        for i, (enc, head) in enumerate(zip(self.feat_encs, self.heads)):
+            feat = enc(xs[i].astype(jnp.float32), train=train)
+            evid.append(head(feat, train=train))
+        return jnp.stack(evid, axis=1)
+
+
+class IntermediateFusion(nn.Module):
+    """Concat fusion -> single evidential head (baselines.py:153-194)."""
+
+    output_dims: Sequence[int]
+    num_classes: int = 42
+    hidden_dim: int = 32
+    dropout: float = 0.3
+    feature_encoders: Optional[Tuple[nn.Module, ...]] = None
+    dtype: Any = None
+
+    def setup(self):
+        n = len(self.output_dims)
+        if self.feature_encoders is not None:
+            self.feat_encs = self.feature_encoders
+        else:
+            self.feat_encs = tuple(IdentityEncoder() for _ in range(n))
+        self.head = EvidentialNN(
+            layers=(sum(self.output_dims), self.hidden_dim),
+            output_dims=self.num_classes,
+            dropout=self.dropout,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, xs, train: bool = False):
+        """xs: list of N (B, S_i). Returns single evidence (B, C)."""
+        feats = [
+            enc(x.astype(jnp.float32), train=train) for enc, x in zip(self.feat_encs, xs)
+        ]
+        fused = jnp.concatenate([f.reshape(f.shape[0], -1) for f in feats], axis=1)
+        return self.head(fused, train=train)

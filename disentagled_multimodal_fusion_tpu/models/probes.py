@@ -1,0 +1,81 @@
+"""Evidential probes over frozen backbone embeddings.
+
+Reference semantics: models/evidential_probe.py:11-408.
+
+* ``EvidentialProbe`` — 1 shared + N per-modality EvidentialNN heads on the
+  backbone's (Zc, [Zp_i]) embeddings; evidences stacked (B, 1+N, C);
+  aggregation in {cml, avg, joint, disentangled}; AvgTrustedLoss.
+* ``DisentangledEvidentialProbe`` — private-only variant: N heads, no shared
+  head, aggregation in {cml, avg}.
+
+TPU-first deviation (math-preserving): the reference deep-copies the
+backbone, freezes it, and re-runs ``get_embedding`` under ``no_grad`` on
+every step (evidential_probe.py:16,60-85). Because the frozen backbone is
+deterministic in eval mode, the embeddings are constants of the training
+run — so the trainer precomputes (Zc, Zp) once on device and the probe
+trains directly on cached embeddings. This produces identical math with
+none of the redundant backbone FLOPs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import EvidentialNN
+
+
+class EvidentialProbe(nn.Module):
+    """Shared + per-modality evidential heads (evidential_probe.py:11-103)."""
+
+    num_modalities: int
+    num_classes: int
+    input_dim: int
+    hidden_dim: Sequence[int] = (32,)
+    dropout: float = 0.3
+    dtype: Any = None
+
+    def setup(self):
+        layers = (self.input_dim, *tuple(self.hidden_dim))
+        self.x_shared = EvidentialNN(
+            layers=layers, output_dims=self.num_classes, dropout=self.dropout, dtype=self.dtype
+        )
+        self.x_specs = tuple(
+            EvidentialNN(
+                layers=layers, output_dims=self.num_classes, dropout=self.dropout, dtype=self.dtype
+            )
+            for _ in range(self.num_modalities)
+        )
+
+    def __call__(self, zc, zp_list, train: bool = False):
+        """zc: (B, D); zp_list: list of N (B, D). Returns (B, 1+N, C)."""
+        evid = [self.x_shared(zc, train=train)]
+        evid += [self.x_specs[i](zp_list[i], train=train) for i in range(self.num_modalities)]
+        return jnp.stack(evid, axis=1)
+
+
+class DisentangledEvidentialProbe(nn.Module):
+    """Private-only evidential heads (evidential_probe.py:214-304)."""
+
+    num_modalities: int
+    num_classes: int
+    input_dim: int
+    hidden_dim: Sequence[int] = (32,)
+    dropout: float = 0.3
+    dtype: Any = None
+
+    def setup(self):
+        layers = (self.input_dim, *tuple(self.hidden_dim))
+        self.spec_heads = tuple(
+            EvidentialNN(
+                layers=layers, output_dims=self.num_classes, dropout=self.dropout, dtype=self.dtype
+            )
+            for _ in range(self.num_modalities)
+        )
+
+    def __call__(self, zp_list, train: bool = False):
+        """zp_list: list of N (B, D). Returns (B, N, C)."""
+        evid = [self.spec_heads[i](zp_list[i], train=train) for i in range(self.num_modalities)]
+        return jnp.stack(evid, axis=1)

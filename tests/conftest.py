@@ -1,0 +1,57 @@
+"""Test configuration: force CPU JAX with an 8-device virtual mesh.
+
+Must run before any jax import so the XLA flags take effect.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_modules():
+    """Import the torch-only reference math modules for golden values.
+
+    Only `utils.py` and `models/losses.py` are imported (no
+    pytorch_lightning dependency). Skips if /root/reference is absent
+    (e.g. CI without the reference mounted).
+    """
+    import importlib.util
+
+    ref_root = Path("/root/reference")
+    if not ref_root.exists():
+        pytest.skip("reference repo not mounted")
+
+    def load(name, rel):
+        spec = importlib.util.spec_from_file_location(name, ref_root / rel)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    utils = load("ref_utils", "utils.py")
+    # losses.py does `import torch` etc. only — safe without lightning.
+    losses = load("ref_losses", "models/losses.py")
+    return {"utils": utils, "losses": losses}
+
+
+# Persistent XLA compilation cache: first-use eager op compiles take seconds
+# in this environment; the cache makes repeat test runs fast.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
