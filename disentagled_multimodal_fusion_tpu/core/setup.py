@@ -1,0 +1,31 @@
+"""Process-level JAX configuration shared by runners/tests/bench."""
+
+from __future__ import annotations
+
+import os
+
+
+def configure(cache_dir: str = "/tmp/jax_cache") -> None:
+    """Enable the persistent XLA compilation cache (compiles in this
+    environment are expensive; the cache makes re-runs near-instant).
+
+    The cache is namespaced per backend — entries serialized by the TPU
+    (axon) runtime fail to deserialize under the CPU backend and vice versa.
+    """
+    import jax
+
+    # The axon sitecustomize force-registers the TPU plugin and overrides
+    # the JAX_PLATFORMS env var via jax.config; re-apply the user's request
+    # so `JAX_PLATFORMS=cpu pytest` really runs on CPU.
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and want != "axon":
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+    cache_dir = f"{cache_dir}_{jax.default_backend()}"
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

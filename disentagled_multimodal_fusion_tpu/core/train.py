@@ -199,6 +199,9 @@ def train(
     def run(carry):
         return jax.lax.scan(epoch_fn, carry, jnp.arange(epochs))
 
+    # Fresh key buffer: the carry is donated, and donating the caller's key
+    # would invalidate it for later fold_in/reuse on the host side.
+    rng = jax.random.fold_in(rng, 0x5CA1AB1E)
     carry = (params, opt_state, rng, plateau_state, jnp.int32(0))
     (params, _, _, plateau, _), (tl, vl, va) = run(carry)
     return TrainResult(params=params, train_loss=tl, val_loss=vl, val_acc=va,

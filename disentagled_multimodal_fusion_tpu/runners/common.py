@@ -1,0 +1,83 @@
+"""Shared runner plumbing: YAML config access, reporting, device upload.
+
+The ``C()`` dot-path getter reproduces the reference's config semantics
+(run.py:29-36): a missing/broken YAML key silently falls back to the
+code-level default.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+import pandas as pd
+import yaml
+
+REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+CONFIG_DIR = REPO_ROOT / "disentagled_multimodal_fusion_tpu" / "configs"
+
+
+def load_config(name: str) -> dict:
+    path = CONFIG_DIR / name
+    if not path.exists():
+        return {}
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def make_getter(cfg: dict):
+    """Dot-path getter with default: C('probes.dropout_p', 0.1)."""
+
+    def C(path: str, default=None):
+        cur = cfg
+        for p in path.split("."):
+            if not isinstance(cur, dict) or p not in cur:
+                return default
+            cur = cur[p]
+        return cur
+
+    return C
+
+
+def to_device(arrays):
+    """Upload a pytree of numpy arrays to the default device once."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda a: jnp.asarray(a), arrays)
+
+
+def write_report(dfs: Dict[str, pd.DataFrame], excel_path: str) -> None:
+    """Write the multi-sheet report: Excel when openpyxl is available
+    (reference: run.py:340-343), always CSV sheets alongside."""
+    path = Path(excel_path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        with pd.ExcelWriter(path) as writer:
+            for sheet, df in dfs.items():
+                df.to_excel(writer, sheet_name=sheet, index=False)
+        print(f"wrote {path}")
+    except (ImportError, ModuleNotFoundError):
+        pass  # openpyxl not installed; CSV below is authoritative
+    for sheet, df in dfs.items():
+        csv = path.with_name(f"{path.stem}_{sheet}.csv")
+        df.to_csv(csv, index=False)
+        print(f"wrote {csv}")
+
+
+MAIN_COLUMNS_TAIL = [
+    "view_0_evidence_mean", "view_1_evidence_mean", "shared_evidence_mean",
+    "fused_evidence_mean",
+    "view_0_aleatoric_mean", "view_1_aleatoric_mean", "shared_aleatoric_mean",
+    "fused_aleatoric_mean",
+    "view_0_epistemic_mean", "view_1_epistemic_mean", "shared_epistemic_mean",
+    "fused_epistemic_mean",
+    "view_0_accuracy", "view_1_accuracy", "shared_accuracy", "fused_accuracy",
+]
+
+
+def main_columns(df: pd.DataFrame, id_cols) -> pd.DataFrame:
+    cols = list(id_cols) + [c for c in MAIN_COLUMNS_TAIL if c in df.columns]
+    return df[cols]

@@ -1,0 +1,266 @@
+"""UQ-datasets sweep: seeds x {Normal, Conflict} x datasets x 6 models.
+
+Reference semantics: run.py (module-level sweep; here wrapped in main()).
+Per (seed, condition, dataset):
+  1. 80/20 split (seeded); Conflict additionally injects cross-class view
+     conflicts into the TEST rows only (ratio 1.0) (run.py:52-102).
+  2. DMVAE (embed 200, hidden 512, a=1e-5, 100 epochs, Adam+cosine).
+  3. Six probe/baseline trainings (200 epochs each): dmvae_dis (private-only
+     probe), dmvae_cml, dmvae_joint (shared+private probes), and dbf/cml/avg
+     LateFusion — each fit with val=test, then evaluated with the
+     subjective-model engine (dmvae_dis uses the per-view layout, all others
+     the with-shared layout, mirroring run.py:252-255 — for LateFusion that
+     deliberately labels view 0 as "shared", a reference quirk kept for
+     column parity).
+  4. Flatten to the three-sheet report (main_grouped/all_results/
+     grouped_results) at logs/dataset_analysis.xlsx (+ CSV mirrors).
+
+TPU shape: raw views live on device; every fit is a single jitted
+scan-per-epoch program; probes train on embeddings precomputed once from
+the frozen DMVAE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from ..core.setup import configure
+
+
+def run_condition(
+    *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out
+):
+    from ..core.checkpoint import save_checkpoint
+    from ..core.train import train
+    from ..data.multiview import DATASET_REGISTRY
+    from ..eval.analysis import (
+        evaluate_subjective_model,
+        evaluate_subjective_model_with_shared,
+    )
+
+    (build_dmvae_task, build_probe_task, build_disentangled_probe_task,
+     build_late_fusion_task, embed_dataset) = builders
+
+    t0 = time.time()
+    rng_np = np.random.default_rng(seed)
+    dataset = DATASET_REGISTRY[dataset_name]()
+    n = len(dataset)
+    train_frac = C("data.split.train_frac", 0.8)
+    idx = rng_np.permutation(n)
+    n_tr = int(train_frac * n)
+    train_idx, test_idx = idx[:n_tr], idx[n_tr:]
+
+    if conflict:
+        pp = C("data.conflict", {}) or {}
+        dataset.postprocessing(
+            test_idx,
+            addNoise=pp.get("addNoise", False),
+            sigma=pp.get("sigma", 0.5),
+            ratio_noise=pp.get("ratio_noise", 0.0),
+            addConflict=pp.get("addConflict", True),
+            ratio_conflict=pp.get("ratio_conflict", 1.0),
+            rng=rng_np,
+        )
+
+    views, labels = dataset.arrays()
+    xs_tr = tuple(jnp.asarray(v[train_idx]) for v in views)
+    xs_te = tuple(jnp.asarray(v[test_idx]) for v in views)
+    y_tr = jnp.asarray(labels[train_idx])
+    y_te = jnp.asarray(labels[test_idx])
+    num_classes = dataset.num_classes
+    dims = [int(d[0]) for d in dataset.dims]
+    n_train = len(train_idx)
+    batch_size = C("dataloader.batch_size", 100)
+
+    lr = C("optim.dataset_lr", {}).get(
+        dataset_name,
+        {"CalTech": 3e-4, "Scene": 0.01, "CUB": 3e-3, "HandWritten": 3e-3, "PIE": 3e-3}[
+            dataset_name
+        ],
+    )
+    probe_hidden = tuple(C("probes.model_hidden_dim", (128,)))
+    probe_dropout = C("probes.dropout_p", 0.1)
+    annealing_start = C("probes.annealing_start", 50)
+    probe_epochs = 2 if quick else C("probes.model_epochs", 200)
+    dmvae_epochs = 2 if quick else C("dmvae.num_epochs", 100)
+    embed_dim = C("dmvae.embed_dim", 200)
+    probe_input_dim = C("probes.input_dim", 200)
+
+    key = jax.random.PRNGKey(seed * 1000 + hash(dataset_name) % 997 + (500 if conflict else 0))
+    keys = jax.random.split(key, 16)
+
+    # ---- DMVAE backbone ----
+    model, params, loss_fn, opt = build_dmvae_task(
+        rng=keys[0], xs_sample=xs_tr, output_dim=dims,
+        dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
+        hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
+        lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
+    )
+    res = train(
+        rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
+        n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
+        batch_size=batch_size, drop_last=False,
+    )
+    dmvae_params = res.params
+    cond = "conflict" if conflict else "normal"
+    save_checkpoint(
+        f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
+        dmvae_params, {"dataset": dataset_name, "seed": seed, "cond": cond},
+    )
+
+    zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr)
+    zc_te, zp_te = embed_dataset(model, dmvae_params, xs_te)
+    probe_train = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
+    probe_test = {"zc": zc_te, "zp": zp_te, "y": y_te}
+    lf_train = {"xs": xs_tr, "y": y_tr}
+    lf_test = {"xs": xs_te, "y": y_te}
+    num_modalities = len(dims)
+
+    # ---- six probe/baseline models (run.py:210-219) ----
+    jobs = []
+    jobs.append((
+        "dmvae_dis",
+        build_disentangled_probe_task(
+            rng=keys[2], num_modalities=num_modalities, num_classes=num_classes,
+            input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
+            dropout=probe_dropout, annealing_start=annealing_start,
+            num_epochs=probe_epochs,
+        ),
+        probe_train, probe_test,
+    ))
+    for agg, k in [("cml", keys[3]), ("joint", keys[4])]:
+        jobs.append((
+            f"dmvae_{agg}",
+            build_probe_task(
+                rng=k, num_modalities=num_modalities, num_classes=num_classes,
+                input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
+                dropout=probe_dropout, annealing_start=annealing_start,
+                aggregation=agg, fused=1.0, num_epochs=probe_epochs,
+            ),
+            probe_train, probe_test,
+        ))
+    for agg, k in [("dbf", keys[5]), ("cml", keys[6]), ("avg", keys[7])]:
+        jobs.append((
+            f"{agg}_fusion",
+            build_late_fusion_task(
+                rng=k, output_dims=dims, num_classes=num_classes,
+                hidden_dim=probe_hidden, dropout=probe_dropout, lr=lr,
+                annealing_start=annealing_start, aggregation=agg, fused=1.0,
+            ),
+            lf_train, lf_test,
+        ))
+
+    for i, (name, task, tr_data, te_data) in enumerate(jobs):
+        res_m = train(
+            rng=keys[8 + i], params=task.params, loss_fn=task.loss_fn,
+            data=tr_data, n_train=n_train, optimizer=task.optimizer,
+            epochs=probe_epochs, batch_size=batch_size, drop_last=False,
+            val_fn=task.val_fn, val_data=te_data,
+        )
+        # dispatch mirrors run.py:252-255
+        if name == "dmvae_dis":
+            info = evaluate_subjective_model(task, res_m.params, te_data)
+        else:
+            info = evaluate_subjective_model_with_shared(task, res_m.params, te_data)
+        path = save_checkpoint(
+            f"checkpoints/{name}_fusion_ds{dataset_name}_seed{seed}"
+            + ("_conflict" if conflict else ""),
+            res_m.params, {"model": name, "dataset": dataset_name, "seed": seed},
+        )
+        info["path"] = path
+        rows_out[name] = info
+        print(
+            f"  [{dataset_name}/{cond}/seed{seed}] {name}: "
+            f"fused_acc={info['fused']['accuracy']:.4f} "
+            f"val_acc_last={float(res_m.val_acc[-1]):.4f}",
+            flush=True,
+        )
+    print(f"  {dataset_name}/{cond}/seed{seed} done in {time.time() - t0:.1f}s", flush=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--seeds", type=int, nargs="*", default=None)
+    parser.add_argument("--datasets", type=str, nargs="*", default=None)
+    parser.add_argument("--conditions", type=str, nargs="*", default=["Normal", "Conflict"])
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args(argv)
+
+    configure()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.tasks import (
+        build_disentangled_probe_task,
+        build_dmvae_task,
+        build_late_fusion_task,
+        build_probe_task,
+        embed_dataset,
+    )
+    from ..eval.analysis import build_metrics_dataframe_datasets
+    from .common import load_config, main_columns, make_getter, write_report
+
+    C = make_getter(load_config("config.yaml"))
+    builders = (build_dmvae_task, build_probe_task, build_disentangled_probe_task,
+                build_late_fusion_task, embed_dataset)
+
+    seeds = args.seeds if args.seeds is not None else C("experiment.seeds", [0, 1, 2, 3, 4])
+    normal_ds = args.datasets or C(
+        "experiment.normal_datasets", ["CUB", "HandWritten", "PIE", "Scene"]
+    )
+    conflict_ds = args.datasets or C(
+        "experiment.conflict_datasets", ["CUB", "HandWritten", "PIE", "Scene"]
+    )
+
+    t_start = time.time()
+    rows = {}
+    for seed in seeds:
+        rows[seed] = {}
+        if "Normal" in args.conditions:
+            rows[seed]["Normal"] = {}
+            for ds_name in normal_ds:
+                rows[seed]["Normal"][ds_name] = {}
+                run_condition(
+                    C=C, seed=seed, dataset_name=ds_name, conflict=False,
+                    quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
+                    rows_out=rows[seed]["Normal"][ds_name],
+                )
+        if "Conflict" in args.conditions:
+            rows[seed]["Conflict"] = {}
+            for ds_name in conflict_ds:
+                rows[seed]["Conflict"][ds_name] = {}
+                run_condition(
+                    C=C, seed=seed, dataset_name=ds_name, conflict=True,
+                    quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
+                    rows_out=rows[seed]["Conflict"][ds_name],
+                )
+
+    df = build_metrics_dataframe_datasets(rows)
+    df["seed"] = df["seed"].astype(int)
+    df_main = main_columns(df, ["seed", "type", "dataset", "model"])
+    df_grouped = (
+        df.drop(columns=[c for c in df.columns if df[c].dtype == object and c not in
+                         ("type", "dataset", "model")], errors="ignore")
+        .groupby(["type", "dataset", "model"]).mean().reset_index()
+        .sort_values(["type", "dataset", "model"])
+    )
+    df_main_grouped = (
+        df_main.groupby(["type", "dataset", "model"]).mean().reset_index()
+        .sort_values(["type", "dataset", "model"])
+    )
+    write_report(
+        {
+            "main_grouped": df_main_grouped,
+            "all_results": df,
+            "grouped_results": df_grouped,
+        },
+        C("logging.datasets_excel_path", "logs/dataset_analysis.xlsx"),
+    )
+    print(f"sweep done in {time.time() - t_start:.1f}s")
+    return df
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Synthetic dependence sweep: seeds x dep in {0,25,50,75,100}.
+
+Reference semantics: run_synthetic.py. For each (seed, dep):
+DMVAE (embed 16, views [32,32], 100 ep) -> EvidentialProbe(cml, fused=0)
+-> LateFusion(cml) -> LateFusion(avg), all with fused=0 (DC term off),
+evaluated with the subjective-model engine and flattened to the same
+three-sheet report (main_grouped / all_results / grouped_results).
+
+The per-(seed, dep) pipeline runs as three jitted scan-per-epoch training
+programs on device; the sweep itself is a plain host loop (model configs are
+identical across cells, so everything after the first cell hits the jit
+cache).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from ..core.setup import configure
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--seeds", type=int, nargs="*", default=None)
+    parser.add_argument("--deps", type=int, nargs="*", default=None)
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny epoch counts for smoke testing")
+    args = parser.parse_args(argv)
+
+    configure()
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.tasks import (
+        build_dmvae_task,
+        build_late_fusion_task,
+        build_probe_task,
+        embed_dataset,
+    )
+    from ..core.train import train
+    from ..core.checkpoint import save_checkpoint
+    from ..data.synthetic import make_simple_plus_splits
+    from ..eval.analysis import (
+        build_metrics_dataframe,
+        evaluate_subjective_model,
+        evaluate_subjective_model_with_shared,
+    )
+    from .common import load_config, main_columns, make_getter, write_report
+
+    C = make_getter(load_config("synthetic_config.yaml"))
+
+    common_med = dict(
+        n_samples=C("data.common_med.n_samples", 10000),
+        d_signal=C("data.common_med.d_signal", 16),
+        d_spurious=C("data.common_med.d_spurious", 16),
+        alpha_shared=C("data.common_med.alpha_shared", 0.7),
+        beta_specific=C("data.common_med.beta_specific", 0.6),
+        class_sep_shared=C("data.common_med.class_sep_shared", 1.1),
+        class_sep_private=C("data.common_med.class_sep_private", 0.9),
+        noise_std=C("data.common_med.noise_std", 0.7),
+        hetero_noise=C("data.common_med.hetero_noise", True),
+        hetero_scale=C("data.common_med.hetero_scale", 0.4),
+        nonlinear_shared=C("data.common_med.nonlinear_shared", True),
+        nonlinear_specific=C("data.common_med.nonlinear_specific", False),
+        conflict_frac=C("data.common_med.conflict_frac", 0.4),
+        conflict_strength=C("data.common_med.conflict_strength", 0.7),
+    )
+
+    seeds = args.seeds if args.seeds is not None else C("experiment.seeds", [0, 1, 2, 3, 4])
+    deps = args.deps if args.deps is not None else C("experiment.deps", [0, 25, 50, 75, 100])
+
+    dmvae_epochs = 3 if args.quick else C("dmvae.num_epochs", 100)
+    fusion_epochs = 3 if args.quick else C("dmvae_fusion.num_epochs", 50)
+    late_epochs = 3 if args.quick else C("latefusion.num_epochs", 50)
+    if args.quick:
+        common_med["n_samples"] = 1000
+
+    batch_size = 128  # reference: make_loaders_simple_plus default
+    rows = {}
+    t_start = time.time()
+
+    for seed in seeds:
+        rows[seed] = {}
+        for dep in deps:
+            t0 = time.time()
+            rows[seed][dep] = {}
+            rho = dep / 100.0
+            ds, (xs_tr, y_tr), (xs_va, y_va) = make_simple_plus_splits(
+                batch_size=batch_size, seed=seed, rho=rho,
+                shared_class_frac=rho, **common_med,
+            )
+            xs_tr = tuple(jnp.asarray(x) for x in xs_tr)
+            xs_va = tuple(jnp.asarray(x) for x in xs_va)
+            y_tr_j, y_va_j = jnp.asarray(y_tr), jnp.asarray(y_va)
+            n_train = xs_tr[0].shape[0]
+
+            key = jax.random.PRNGKey(seed)
+            k_dmvae, k_probe, k_cml, k_avg, k_train = jax.random.split(key, 5)
+
+            # ---- DMVAE (run_synthetic.py:53-72) ----
+            model, params, loss_fn, opt = build_dmvae_task(
+                rng=k_dmvae,
+                xs_sample=xs_tr,
+                output_dim=C("dmvae.output_dim", [32, 32]),
+                a=C("dmvae.a", 1e-5),
+                hidden_dim=C("dmvae.hidden_dim", 512),
+                embed_dim=C("dmvae.embed_dim", 16),
+                lr=C("dmvae.lr", 1e-3),
+                num_epochs=dmvae_epochs,
+            )
+            res = train(
+                rng=k_train, params=params, loss_fn=loss_fn, data={"xs": xs_tr},
+                n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
+                batch_size=batch_size, drop_last=True,
+            )
+            dmvae_params = res.params
+            save_checkpoint(
+                f"checkpoints/dmvae_seed{seed}_dep{dep}", dmvae_params,
+                {"seed": seed, "dep": dep, "model": "dmvae"},
+            )
+
+            zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr)
+            zc_va, zp_va = embed_dataset(model, dmvae_params, xs_va)
+            probe_train = {"zc": zc_tr, "zp": zp_tr, "y": y_tr_j}
+            probe_val = {"zc": zc_va, "zp": zp_va, "y": y_va_j}
+
+            # ---- EvidentialProbe cml, fused=0 (run_synthetic.py:74-95) ----
+            task = build_probe_task(
+                rng=k_probe,
+                num_modalities=2,
+                num_classes=C("dmvae_fusion.num_classes", 3),
+                input_dim=C("dmvae_fusion.input_dim", 16),
+                hidden_dim=tuple(C("dmvae_fusion.hidden_dim", (128,))),
+                lr=C("dmvae_fusion.lr", 3e-4),
+                dropout=C("dmvae_fusion.dropout", 0.1),
+                annealing_start=C("dmvae_fusion.annealing_start", 10),
+                aggregation=C("dmvae_fusion.aggregation", "cml"),
+                fused=0.0,
+                num_epochs=fusion_epochs,
+            )
+            res_p = train(
+                rng=jax.random.fold_in(k_train, 1), params=task.params,
+                loss_fn=task.loss_fn, data=probe_train, n_train=n_train,
+                optimizer=task.optimizer, epochs=fusion_epochs,
+                batch_size=batch_size, drop_last=True,
+                val_fn=task.val_fn, val_data=probe_val,
+            )
+            rows[seed][dep]["dmvae_cml"] = evaluate_subjective_model_with_shared(
+                task, res_p.params, probe_val
+            )
+
+            # ---- LateFusion cml / avg, fused=0 (run_synthetic.py:116-135) ----
+            lf_train = {"xs": xs_tr, "y": y_tr_j}
+            lf_val = {"xs": xs_va, "y": y_va_j}
+            for agg, k, label in [("cml", k_cml, "cml"), ("avg", k_avg, "avg")]:
+                lf = build_late_fusion_task(
+                    rng=k,
+                    output_dims=C("latefusion.output_dims", [32, 32]),
+                    num_classes=C("latefusion.num_classes", 3),
+                    hidden_dim=tuple(C("latefusion.hidden_dim", (128,))),
+                    dropout=C("latefusion.dropout", 0.1),
+                    lr=C("latefusion.lr", 3e-4),
+                    annealing_start=C("latefusion.annealing_start", 10),
+                    aggregation=agg,
+                    fused=0.0,
+                )
+                res_lf = train(
+                    rng=jax.random.fold_in(k, 7), params=lf.params,
+                    loss_fn=lf.loss_fn, data=lf_train, n_train=n_train,
+                    optimizer=lf.optimizer, epochs=late_epochs,
+                    batch_size=batch_size, drop_last=True,
+                    val_fn=lf.val_fn, val_data=lf_val,
+                )
+                rows[seed][dep][label] = evaluate_subjective_model(lf, res_lf.params, lf_val)
+
+            acc = rows[seed][dep]["dmvae_cml"]["fused"]["accuracy"]
+            print(
+                f"[seed {seed} dep {dep}] dmvae_cml fused acc "
+                f"{acc:.3f}  ({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+
+    df = build_metrics_dataframe(rows)
+    df["seed"] = df["seed"].astype(int)
+    df["dep"] = df["dep"].astype(float)
+    df_main = main_columns(df, ["seed", "dep", "model"])
+    df_grouped = df.groupby(["dep", "model"]).mean().reset_index().sort_values(["dep", "model"])
+    df_main_grouped = (
+        df_main.groupby(["dep", "model"]).mean().reset_index().sort_values(["dep", "model"])
+    )
+    write_report(
+        {
+            "main_grouped": df_main_grouped,
+            "all_results": df,
+            "grouped_results": df_grouped,
+        },
+        C("logging.excel_path", "logs/synthetic_dataset.xlsx"),
+    )
+    print(f"sweep done in {time.time() - t_start:.1f}s")
+    return df
+
+
+if __name__ == "__main__":
+    main()

@@ -50,8 +50,6 @@ def reference_modules():
 
 # Persistent XLA compilation cache: first-use eager op compiles take seconds
 # in this environment; the cache makes repeat test runs fast.
-import jax  # noqa: E402
+from disentagled_multimodal_fusion_tpu.core.setup import configure  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+configure()
