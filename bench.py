@@ -63,7 +63,7 @@ def bench_jax(xs_np, dims) -> float:
     _log(f"jax backend: {jax.default_backend()} {jax.devices()}")
     xs = tuple(jnp.asarray(x) for x in xs_np)
     key = jax.random.PRNGKey(0)
-    model, params0, loss_fn, opt = build_dmvae_task(
+    model, params0, loss_fn, opt, _bstats = build_dmvae_task(
         rng=key, xs_sample=xs, output_dim=dims, a=A, hidden_dim=HIDDEN,
         embed_dim=EMBED, lr=LR, num_epochs=EPOCHS_JAX,
     )

@@ -36,21 +36,45 @@ from .train import OptimizerConfig
 
 
 class EvidentialTask(NamedTuple):
-    """A trainable evidential classifier exposed to train() and eval."""
+    """A trainable evidential classifier exposed to train() and eval.
+
+    ``model_state`` is the mutable flax collection (BatchNorm batch_stats)
+    for models whose feature encoders carry one; None otherwise. When set,
+    loss_fn/val_fn use the stateful arities documented in core.train.train,
+    and evidences_fn is (params, data, state).
+    """
 
     model: Any
     params: Any
     loss_fn: Callable
     val_fn: Callable
-    evidences_fn: Callable  # (params, data_pytree) -> (B, V, C) evidences
+    evidences_fn: Callable  # (params, data[, state]) -> (B, V, C) evidences
     aggregation: Callable   # (B, V, C) -> (B, C)
     num_classes: int
     optimizer: OptimizerConfig
     has_shared: bool        # True if evidences[:, 0] is the shared view
+    model_state: Any = None
 
 
 def _acc(evidence_a: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.mean((jnp.argmax(evidence_a, axis=-1) == y).astype(jnp.float32))
+
+
+def _apply_stateful(model, params, state, args, kwargs, train, rngs):
+    """Apply a flax model with an optional batch_stats collection.
+
+    Returns (output, new_state). With torch-parity momentum the encoders set
+    BatchNorm(momentum=0.9) themselves; here we only thread the collection.
+    """
+    variables = {"params": params}
+    if state is not None:
+        variables["batch_stats"] = state
+    if train and state is not None:
+        out, mut = model.apply(
+            variables, *args, train=True, rngs=rngs, mutable=["batch_stats"], **kwargs
+        )
+        return out, mut["batch_stats"]
+    return model.apply(variables, *args, train=train, rngs=rngs, **kwargs), state
 
 
 # ------------------------------------------------------------------ DMVAE
@@ -88,32 +112,41 @@ def build_dmvae_task(
         {"params": k_init, "noise": k_noise, "dropout": k_noise}, xs_small, train=True
     )
     params = variables["params"]
+    bstats = variables.get("batch_stats")
 
-    def loss_fn(params, batch, mask, t, key):
-        loss, logs = model.apply(
-            {"params": params},
-            batch["xs"],
-            train=True,
-            mask=mask,
-            rngs={"noise": key, "dropout": jax.random.fold_in(key, 1)},
-        )
-        return loss, logs
+    if bstats is None:
+
+        def loss_fn(params, batch, mask, t, key):
+            loss_logs, _ = _apply_stateful(
+                model, params, None, (batch["xs"],), {"mask": mask}, True,
+                {"noise": key, "dropout": jax.random.fold_in(key, 1)},
+            )
+            return loss_logs[0], loss_logs[1]
+    else:
+
+        def loss_fn(params, batch, mask, t, key, state):
+            (loss, _logs), new_state = _apply_stateful(
+                model, params, state, (batch["xs"],), {"mask": mask}, True,
+                {"noise": key, "dropout": jax.random.fold_in(key, 1)},
+            )
+            return loss, new_state
 
     opt = OptimizerConfig(
         name="adam", lr=lr, schedule="cosine", cosine_t_max=num_epochs, eta_min=0.0
     )
-    return model, params, loss_fn, opt
+    return model, params, loss_fn, opt, bstats
 
 
 @partial(jax.jit, static_argnames=("backbone_model",))
-def embed_dataset(backbone_model: DMVAE, backbone_params, xs):
+def embed_dataset(backbone_model: DMVAE, backbone_params, xs, backbone_state=None):
     """Frozen-backbone embeddings, computed once (see probes.py docstring).
 
     Returns (zc (B, D), zp (B, N, D)).
     """
-    zc, zp_list = backbone_model.apply(
-        {"params": backbone_params}, xs, method=DMVAE.get_embedding
-    )
+    variables = {"params": backbone_params}
+    if backbone_state is not None:
+        variables["batch_stats"] = backbone_state
+    zc, zp_list = backbone_model.apply(variables, xs, method=DMVAE.get_embedding)
     return zc, jnp.stack(zp_list, axis=1)
 
 
@@ -263,10 +296,15 @@ def build_late_fusion_task(
     aggregation: str = "cml",
     fused: float = 1.0,
     feature_encoders: Optional[Tuple] = None,
+    input_dims: Optional[Sequence[int]] = None,
 ) -> EvidentialTask:
     """Per-view evidential heads on raw views (baselines.py:12-150).
 
     Data pytree: {'xs': tuple of N (B, S_i), 'y': (B,)}.
+    ``output_dims`` are the evidential-head input widths (the feature
+    encoders' outputs); ``input_dims`` are the raw view widths used to
+    initialise the feature encoders (defaults to output_dims — the
+    Identity-encoder case).
     """
     model = LateFusion(
         output_dims=tuple(output_dims),
@@ -276,42 +314,55 @@ def build_late_fusion_task(
         feature_encoders=feature_encoders,
     )
     agg = AGGREGATIONS[aggregation]
-    xs0 = [jnp.zeros((2, d)) for d in output_dims]
+    xs0 = [jnp.zeros((2, d)) for d in (input_dims or output_dims)]
     variables = model.init({"params": rng, "dropout": rng}, xs0, train=True)
     params = variables["params"]
+    bstats = variables.get("batch_stats")
     num_views = len(output_dims)
 
-    def evidences(params, data, train=False, key=None):
+    def evidences(params, data, state=None, train=False, key=None):
         rngs = {"dropout": key} if train else None
-        return model.apply({"params": params}, data["xs"], train=train, rngs=rngs)
+        ev, new_state = _apply_stateful(
+            model, params, state, (data["xs"],), {}, train, rngs
+        )
+        return ev, new_state
 
-    def loss_fn(params, batch, mask, t, key):
-        ev = evidences(params, batch, train=True, key=key)
-        ev_a = agg(ev)
-        loss = avg_trusted_loss(
-            ev, batch["y"], ev_a,
+    def _loss(ev, y, t, mask):
+        return avg_trusted_loss(
+            ev, y, agg(ev),
             annealing_step=t.epoch, num_views=num_views,
             annealing_start=annealing_start, fused=fused, mask=mask,
         )
-        return loss, {}
 
-    def val_fn(params, data, t):
-        ev = evidences(params, data, train=False)
-        ev_a = agg(ev)
-        loss = avg_trusted_loss(
-            ev, data["y"], ev_a,
-            annealing_step=t.epoch, num_views=num_views,
-            annealing_start=annealing_start, fused=fused,
-        )
-        return loss, _acc(ev_a, data["y"])
+    if bstats is None:
+
+        def loss_fn(params, batch, mask, t, key):
+            ev, _ = evidences(params, batch, train=True, key=key)
+            return _loss(ev, batch["y"], t, mask), {}
+
+        def val_fn(params, data, t):
+            ev, _ = evidences(params, data, train=False)
+            return _loss(ev, data["y"], t, None), _acc(agg(ev), data["y"])
+
+        ev_fn = jax.jit(lambda p, d: evidences(p, d, train=False)[0])
+    else:
+
+        def loss_fn(params, batch, mask, t, key, state):
+            ev, new_state = evidences(params, batch, state=state, train=True, key=key)
+            return _loss(ev, batch["y"], t, mask), new_state
+
+        def val_fn(params, state, data, t):
+            ev, _ = evidences(params, data, state=state, train=False)
+            return _loss(ev, data["y"], t, None), _acc(agg(ev), data["y"])
+
+        ev_fn = jax.jit(lambda p, d, s: evidences(p, d, state=s, train=False)[0])
 
     opt = OptimizerConfig(
         name="adam", lr=lr, schedule="plateau", plateau_factor=0.1, plateau_patience=10
     )
     return EvidentialTask(
-        model, params, loss_fn, val_fn,
-        jax.jit(lambda p, d: evidences(p, d, train=False)), agg,
-        num_classes, opt, has_shared=False,
+        model, params, loss_fn, val_fn, ev_fn, agg,
+        num_classes, opt, has_shared=False, model_state=bstats,
     )
 
 
@@ -335,7 +386,14 @@ def build_intermediate_fusion_task(
         feature_encoders=feature_encoders,
     )
     xs0 = [jnp.zeros((2, d)) for d in output_dims]
-    params = model.init({"params": rng, "dropout": rng}, xs0, train=True)["params"]
+    variables = model.init({"params": rng, "dropout": rng}, xs0, train=True)
+    if "batch_stats" in variables:
+        raise NotImplementedError(
+            "IntermediateFusion with BatchNorm feature encoders: use "
+            "build_late_fusion_task-style state threading (no reference "
+            "driver exercises this combination)."
+        )
+    params = variables["params"]
 
     def evidence(params, data, train=False, key=None):
         rngs = {"dropout": key} if train else None

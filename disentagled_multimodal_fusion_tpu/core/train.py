@@ -72,6 +72,7 @@ class TrainResult(NamedTuple):
     val_loss: jax.Array    # (E,) per-epoch val loss (nan if no val)
     val_acc: jax.Array     # (E,) per-epoch val accuracy (nan if no val)
     final_lr: jax.Array
+    model_state: Any = None  # e.g. BatchNorm batch_stats, threaded when given
 
 
 def _make_tx(cfg: OptimizerConfig) -> optax.GradientTransformation:
@@ -139,14 +140,18 @@ def train(
     val_fn: Optional[Callable] = None,
     val_data: Any = None,
     donate: bool = True,
+    model_state: Any = None,
 ) -> TrainResult:
     """Run a full training job as one jitted scan.
 
-    loss_fn(params, batch, mask, epoch, rng) -> scalar loss. ``batch`` is the
-    pytree ``data`` gathered at the (B,) batch indices; ``mask`` is (B,) 0/1.
-    val_fn(params, val_data, epoch) -> (val_loss, val_acc), computed on the
-    full validation pytree (tiny datasets -> single fused forward).
+    loss_fn(params, batch, mask, t, rng[, state]) -> (loss, aux). ``batch``
+    is the pytree ``data`` gathered at the (B,) batch indices; ``mask`` is
+    (B,) 0/1. When ``model_state`` is given (e.g. BatchNorm batch_stats),
+    loss_fn takes it as a 6th argument and must return the updated state as
+    ``aux``; val_fn then also takes it: (params, state, val_data, t).
+    Otherwise val_fn is (params, val_data, t) -> (val_loss, val_acc).
     """
+    has_state = model_state is not None
     tx = _make_tx(optimizer)
     opt_state = tx.init(params)
     plateau_state = (
@@ -163,37 +168,45 @@ def train(
         return jnp.float32(optimizer.lr)
 
     def step_fn(carry, batch_plan):
-        params, opt_state, lr, epoch, gstep = carry
+        params, opt_state, mstate, lr, epoch, gstep = carry
         idx, mask, key = batch_plan
         batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
-        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, mask, StepInfo(epoch, gstep), key
-        )
+        if has_state:
+            (loss, mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, mask, StepInfo(epoch, gstep), key, mstate
+            )
+        else:
+            (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, mask, StepInfo(epoch, gstep), key
+            )
         updates, opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state, lr, epoch, gstep + 1), loss
+        return (params, opt_state, mstate, lr, epoch, gstep + 1), loss
 
     def epoch_fn(carry, epoch):
-        params, opt_state, key, plateau, gstep = carry
+        params, opt_state, mstate, key, plateau, gstep = carry
         key, k_perm, k_steps = jax.random.split(key, 3)
         idx, mask = _epoch_batches(k_perm, n_train, batch_size, drop_last, shuffle)
         step_keys = jax.random.split(k_steps, idx.shape[0])
         lr = lr_for_epoch(epoch, plateau[0])
-        (params, opt_state, _, _, gstep), losses = jax.lax.scan(
-            step_fn, (params, opt_state, lr, epoch, gstep), (idx, mask, step_keys)
+        (params, opt_state, mstate, _, _, gstep), losses = jax.lax.scan(
+            step_fn, (params, opt_state, mstate, lr, epoch, gstep), (idx, mask, step_keys)
         )
         # Weight per-batch means by valid counts for the exact epoch mean.
         counts = jnp.sum(mask, axis=1)
         train_loss = jnp.sum(losses * counts) / jnp.sum(counts)
 
         if val_fn is not None:
-            val_loss, val_acc = val_fn(params, val_data, StepInfo(epoch, gstep))
+            if has_state:
+                val_loss, val_acc = val_fn(params, mstate, val_data, StepInfo(epoch, gstep))
+            else:
+                val_loss, val_acc = val_fn(params, val_data, StepInfo(epoch, gstep))
             plateau = _plateau_update(optimizer, plateau, val_loss)
         else:
             val_loss = jnp.float32(jnp.nan)
             val_acc = jnp.float32(jnp.nan)
-        return (params, opt_state, key, plateau, gstep), (train_loss, val_loss, val_acc)
+        return (params, opt_state, mstate, key, plateau, gstep), (train_loss, val_loss, val_acc)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run(carry):
@@ -202,7 +215,7 @@ def train(
     # Fresh key buffer: the carry is donated, and donating the caller's key
     # would invalidate it for later fold_in/reuse on the host side.
     rng = jax.random.fold_in(rng, 0x5CA1AB1E)
-    carry = (params, opt_state, rng, plateau_state, jnp.int32(0))
-    (params, _, _, plateau, _), (tl, vl, va) = run(carry)
+    carry = (params, opt_state, model_state, rng, plateau_state, jnp.int32(0))
+    (params, _, mstate, _, plateau, _), (tl, vl, va) = run(carry)
     return TrainResult(params=params, train_loss=tl, val_loss=vl, val_acc=va,
-                       final_lr=plateau[0])
+                       final_lr=plateau[0], model_state=mstate)

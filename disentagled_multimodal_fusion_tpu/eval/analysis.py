@@ -116,30 +116,37 @@ def evaluate_evidences(
     }
 
 
-def evaluate_task(task, params, data) -> Dict[str, Any]:
+def _task_evidences(task, params, data, model_state=None):
+    if getattr(task, "model_state", None) is not None or model_state is not None:
+        state = model_state if model_state is not None else task.model_state
+        return task.evidences_fn(params, data, state)
+    return task.evidences_fn(params, data)
+
+
+def evaluate_task(task, params, data, model_state=None) -> Dict[str, Any]:
     """Evaluate an EvidentialTask on a full test pytree.
 
     Equivalent to evaluate_subjective_model[_with_shared](model, test_loader)
     — dispatches on ``task.has_shared`` like run.py:252-255 does by model
     name.
     """
-    evidences = task.evidences_fn(params, data)
+    evidences = _task_evidences(task, params, data, model_state)
     fused = task.aggregation(evidences)
     return evaluate_evidences(
         evidences, fused, data["y"], task.num_classes, task.has_shared
     )
 
 
-def evaluate_subjective_model(task, params, data):
+def evaluate_subjective_model(task, params, data, model_state=None):
     """Per-view layout evaluator (analysis.py:6-192)."""
-    evidences = task.evidences_fn(params, data)
+    evidences = _task_evidences(task, params, data, model_state)
     fused = task.aggregation(evidences)
     return evaluate_evidences(evidences, fused, data["y"], task.num_classes, False)
 
 
-def evaluate_subjective_model_with_shared(task, params, data):
+def evaluate_subjective_model_with_shared(task, params, data, model_state=None):
     """[shared, views...] layout evaluator (analysis.py:194-399)."""
-    evidences = task.evidences_fn(params, data)
+    evidences = _task_evidences(task, params, data, model_state)
     if evidences.shape[1] < 2:
         raise ValueError("Expected at least one shared and one specific view (V >= 2).")
     fused = task.aggregation(evidences)

@@ -91,7 +91,7 @@ def run_condition(
     keys = jax.random.split(key, 16)
 
     # ---- DMVAE backbone ----
-    model, params, loss_fn, opt = build_dmvae_task(
+    model, params, loss_fn, opt, bstats = build_dmvae_task(
         rng=keys[0], xs_sample=xs_tr, output_dim=dims,
         dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
         hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
@@ -100,7 +100,7 @@ def run_condition(
     res = train(
         rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
         n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
-        batch_size=batch_size, drop_last=False,
+        batch_size=batch_size, drop_last=False, model_state=bstats,
     )
     dmvae_params = res.params
     cond = "conflict" if conflict else "normal"

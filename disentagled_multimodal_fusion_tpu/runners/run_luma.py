@@ -1,0 +1,214 @@
+"""LUMA 3-modality protocol: DMVAE + six probe/baseline models.
+
+Reference semantics: run_luma.py:149-358. Per seed: load the compiled LUMA
+corpus (featurized offline — see data/luma.py), train the DMVAE with real
+Audio/Text/Image feature encoders (run_luma.py:199-203), then the six-model
+loop (dmvae_dis / dmvae_cml / dmvae_joint / dbf / cml / avg), evaluate, and
+write logs/luma_analysis.xlsx (+ CSV mirrors). Epoch counts default to the
+reference's hardcoded debug values (DMVAE 3, probes 2) but are configurable.
+
+Documented deviations (both reference defects, see data/luma.py docstring):
+  * images are real (image_idx bug fixed) unless --replicate-image-bug;
+  * LateFusion heads are sized to the feature-encoder output (200), where
+    the reference passes raw view dims that cannot run
+    (run_luma.py:131-140 + baselines.py:23-25 with real encoders).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from ..core.setup import configure
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--seeds", type=int, nargs="*", default=None)
+    parser.add_argument("--data-path", type=str, default=None)
+    parser.add_argument("--replicate-image-bug", action="store_true")
+    parser.add_argument("--dmvae-epochs", type=int, default=None)
+    parser.add_argument("--probe-epochs", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    configure()
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.checkpoint import save_checkpoint
+    from ..core.tasks import (
+        build_disentangled_probe_task,
+        build_dmvae_task,
+        build_late_fusion_task,
+        build_probe_task,
+        embed_dataset,
+    )
+    from ..core.train import train
+    from ..data.luma import get_luma_arrays
+    from ..eval.analysis import (
+        build_metrics_dataframe_datasets,
+        evaluate_subjective_model,
+        evaluate_subjective_model_with_shared,
+    )
+    from ..models.layers import AudioEncoder, ImageEncoder, TextEncoder
+    from .common import load_config, main_columns, make_getter, write_report
+
+    C = make_getter(load_config("luma_config.yaml"))
+    seeds = args.seeds if args.seeds is not None else C("experiment.seeds", [0, 1, 2, 3, 4])
+    data_path = args.data_path or C("data.luma_path", "data/luma_compiled")
+    batch_size = C("dataloader.batch_size", 64)
+    luma_lr = C("optim.luma_lr", 3e-4)
+    dmvae_epochs = args.dmvae_epochs or C("dmvae.num_epochs", 3)
+    probe_epochs = args.probe_epochs or C("probes.model_epochs", 2)
+    embed_dim = C("dmvae.embed_dim", 200)
+    probe_input_dim = C("probes.input_dim", 200)
+    probe_hidden = tuple(C("probes.model_hidden_dim", (128,)))
+    probe_dropout = C("probes.dropout_p", 0.1)
+    annealing_start = C("probes.annealing_start", 50)
+    enc_out = 200  # AudioEncoder/TextEncoder/ImageEncoder output_dim
+
+    audio_cfg = {
+        "sample_rate": C("data.audio.sample_rate", 16000),
+        "max_length": C("data.audio.max_length", 3.0),
+        "n_mfcc": C("data.audio.n_mfcc", 40),
+        "use_mfcc": C("data.audio.use_mfcc", True),
+    }
+    text_cfg = {
+        "max_length": C("data.text.max_length", 128),
+        "model_name": C("data.text.model_name", "bert-base-uncased"),
+        "use_pretrained": C("data.text.use_pretrained", True),
+    }
+    image_cfg = {
+        "size": tuple(C("data.image.size", (32, 32))),
+        "normalize": C("data.image.normalize", True),
+    }
+
+    xs_tr_np, y_tr_np, xs_te_np, y_te_np, num_classes, num_views, dims = get_luma_arrays(
+        data_path, audio_cfg, text_cfg, image_cfg,
+        replicate_image_bug=args.replicate_image_bug,
+    )
+    print(f"LUMA: {len(y_tr_np)} train / {len(y_te_np)} test, "
+          f"{num_classes} classes, dims {[int(d[0]) for d in dims]}", flush=True)
+
+    xs_tr = tuple(jnp.asarray(x) for x in xs_tr_np)
+    xs_te = tuple(jnp.asarray(x) for x in xs_te_np)
+    y_tr, y_te = jnp.asarray(y_tr_np), jnp.asarray(y_te_np)
+    n_train = len(y_tr_np)
+
+    def encoders():
+        # run_luma.py:199-203
+        return (
+            AudioEncoder(input_dim=audio_cfg["n_mfcc"], output_dim=enc_out, dropout=0.1),
+            TextEncoder(input_dim=text_cfg["max_length"], output_dim=enc_out, dropout=0.1),
+            ImageEncoder(output_dim=enc_out, dropout=0.1),
+        )
+
+    rows = {}
+    t_start = time.time()
+    for seed in seeds:
+        t0 = time.time()
+        rows[seed] = {"Normal": {"LUMA": {}}}
+        out = rows[seed]["Normal"]["LUMA"]
+        key = jax.random.PRNGKey(seed)
+        keys = jax.random.split(key, 16)
+
+        model, params, loss_fn, opt, bstats = build_dmvae_task(
+            rng=keys[0], xs_sample=xs_tr,
+            output_dim=[enc_out] * 3,  # post-feature-encoder dims
+            dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
+            hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
+            lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
+            feature_encoders=encoders(),
+        )
+        res = train(
+            rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
+            n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
+            batch_size=batch_size, drop_last=False, model_state=bstats,
+        )
+        dmvae_params = res.params
+        dmvae_state = res.model_state
+        save_checkpoint(
+            f"checkpoints/dmvae_datasetLUMA_seed{seed}_a1e-05_normal", dmvae_params,
+            {"dataset": "LUMA", "seed": seed},
+        )
+        print(f"[seed {seed}] DMVAE trained ({time.time() - t0:.1f}s)", flush=True)
+
+        zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr, dmvae_state)
+        zc_te, zp_te = embed_dataset(model, dmvae_params, xs_te, dmvae_state)
+        probe_train = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
+        probe_test = {"zc": zc_te, "zp": zp_te, "y": y_te}
+        lf_train = {"xs": xs_tr, "y": y_tr}
+        lf_test = {"xs": xs_te, "y": y_te}
+
+        jobs = [(
+            "dmvae_dis",
+            build_disentangled_probe_task(
+                rng=keys[2], num_modalities=3, num_classes=num_classes,
+                input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=luma_lr,
+                dropout=probe_dropout, annealing_start=annealing_start,
+                num_epochs=probe_epochs,
+            ), probe_train, probe_test,
+        )]
+        for agg, k in [("cml", keys[3]), ("joint", keys[4])]:
+            jobs.append((
+                f"dmvae_{agg}",
+                build_probe_task(
+                    rng=k, num_modalities=3, num_classes=num_classes,
+                    input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=luma_lr,
+                    dropout=probe_dropout, annealing_start=annealing_start,
+                    aggregation=agg, fused=1.0, num_epochs=probe_epochs,
+                ), probe_train, probe_test,
+            ))
+        for agg, k in [("dbf", keys[5]), ("cml", keys[6]), ("avg", keys[7])]:
+            jobs.append((
+                f"{agg}_fusion",
+                build_late_fusion_task(
+                    rng=k, output_dims=[enc_out] * 3, num_classes=num_classes,
+                    hidden_dim=probe_hidden, dropout=probe_dropout, lr=luma_lr,
+                    annealing_start=annealing_start, aggregation=agg, fused=1.0,
+                    feature_encoders=encoders(),
+                    input_dims=[int(d[0]) for d in dims],
+                ), lf_train, lf_test,
+            ))
+
+        for i, (name, task, tr_d, te_d) in enumerate(jobs):
+            res_m = train(
+                rng=keys[8 + i], params=task.params, loss_fn=task.loss_fn,
+                data=tr_d, n_train=n_train, optimizer=task.optimizer,
+                epochs=probe_epochs, batch_size=batch_size, drop_last=False,
+                val_fn=task.val_fn, val_data=te_d, model_state=task.model_state,
+            )
+            if name == "dmvae_dis":
+                info = evaluate_subjective_model(task, res_m.params, te_d, res_m.model_state)
+            else:
+                info = evaluate_subjective_model_with_shared(task, res_m.params, te_d, res_m.model_state)
+            path = save_checkpoint(
+                f"checkpoints/{name}_fusion_dsLUMA_seed{seed}", res_m.params,
+                {"model": name, "dataset": "LUMA", "seed": seed},
+            )
+            info["path"] = path
+            out[name] = info
+            print(f"[seed {seed}] {name}: fused_acc={info['fused']['accuracy']:.4f}", flush=True)
+        print(f"[seed {seed}] done in {time.time() - t0:.1f}s", flush=True)
+
+    df = build_metrics_dataframe_datasets(rows)
+    df["seed"] = df["seed"].astype(int)
+    df_main = main_columns(df, ["seed", "type", "dataset", "model"])
+    df_grouped = (
+        df.groupby(["type", "dataset", "model"]).mean().reset_index()
+        .sort_values(["type", "dataset", "model"])
+    )
+    df_main_grouped = (
+        df_main.groupby(["type", "dataset", "model"]).mean().reset_index()
+        .sort_values(["type", "dataset", "model"])
+    )
+    write_report(
+        {"main_grouped": df_main_grouped, "all_results": df, "grouped_results": df_grouped},
+        "logs/luma_analysis.xlsx",
+    )
+    print(f"LUMA protocol done in {time.time() - t_start:.1f}s")
+    return df
+
+
+if __name__ == "__main__":
+    main()

@@ -99,7 +99,7 @@ def main(argv=None):
             k_dmvae, k_probe, k_cml, k_avg, k_train = jax.random.split(key, 5)
 
             # ---- DMVAE (run_synthetic.py:53-72) ----
-            model, params, loss_fn, opt = build_dmvae_task(
+            model, params, loss_fn, opt, bstats = build_dmvae_task(
                 rng=k_dmvae,
                 xs_sample=xs_tr,
                 output_dim=C("dmvae.output_dim", [32, 32]),
