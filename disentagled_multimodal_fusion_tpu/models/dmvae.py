@@ -141,23 +141,29 @@ class DMVAE(nn.Module):
         )
         z_s = reparameterize(keys[2 * n], mu_s_poe, logv_s_poe)
 
-        recon_joint = [
-            self.decoders[i](jnp.concatenate([z_p[i], z_s], axis=1), train=train)
-            for i in range(n)
-        ]
-        loss_recon_joint = sum(
-            lam[i] * _masked_mse(recon_joint[i], feats[i], mask) for i in range(n)
-        )
-
+        # Joint + cross reconstructions, batched per decoder: decoder_i sees
+        # the stack [(z_p_i, z_s_poe); (z_p_i, z_s_uni_j) for j != i] as one
+        # (N*B, 2E) apply — identical math to the reference's N + N(N-1)
+        # separate decodes (dmvae.py:154-167), but N x fewer, N x wider
+        # matmuls for the MXU.
+        b = xs[0].shape[0]
+        loss_recon_joint = 0.0
         loss_recon_cross, pairs = 0.0, 0
         for i in range(n):
-            for j in range(n):
-                if i == j:
-                    continue
-                x_hat = self.decoders[i](
-                    jnp.concatenate([z_p[i], z_s_uni[j]], axis=1), train=train
+            zs_rows = [z_s] + [z_s_uni[j] for j in range(n) if j != i]
+            dec_in = jnp.concatenate(
+                [
+                    jnp.concatenate([z_p[i]] * len(zs_rows), axis=0),
+                    jnp.concatenate(zs_rows, axis=0),
+                ],
+                axis=1,
+            )
+            out = self.decoders[i](dec_in, train=train)
+            loss_recon_joint += lam[i] * _masked_mse(out[:b], feats[i], mask)
+            for k in range(1, len(zs_rows)):
+                loss_recon_cross += lam[i] * _masked_mse(
+                    out[k * b : (k + 1) * b], feats[i], mask
                 )
-                loss_recon_cross += lam[i] * _masked_mse(x_hat, feats[i], mask)
                 pairs += 1
         if pairs > 0:
             loss_recon_cross = (loss_recon_cross / pairs) * self.cross_weight

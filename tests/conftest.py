@@ -5,7 +5,11 @@ Must run before any jax import so the XLA flags take effect.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment pins JAX_PLATFORMS=axon (remote TPU relay),
+# which is wrong for unit tests — slow, single-device, and shared. Set
+# DMF_TEST_TPU=1 to run the suite against the real chip.
+if not os.environ.get("DMF_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,177 @@
+"""Data-layer tests: .mat loaders, minmax parity, conflict injection,
+synthetic generators, audio featurization, native C++ parity."""
+
+import os
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from disentagled_multimodal_fusion_tpu.data.multiview import (
+    DATASET_REGISTRY,
+    MultiViewDataset,
+    minmax_scale,
+)
+from disentagled_multimodal_fusion_tpu.data.synthetic import (
+    SimpleTwoModalPlus,
+    generate_data_simple,
+    make_simple_plus_splits,
+)
+
+HAS_MAT = (Path(__file__).parent.parent / "data" / "handwritten.mat").exists()
+RNG = np.random.default_rng(0)
+
+
+def test_minmax_matches_sklearn():
+    from sklearn.preprocessing import MinMaxScaler
+
+    x = RNG.standard_normal((50, 7)) * 3 + 1
+    x[:, 3] = 2.0  # zero-range feature
+    ref = MinMaxScaler((0, 1)).fit_transform(x)
+    got = minmax_scale(x, (0, 1))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
+    ref = MinMaxScaler((-1, 1)).fit_transform(x)
+    got = minmax_scale(x, (-1, 1))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.skipif(not HAS_MAT, reason="data/*.mat not present")
+def test_mat_loaders():
+    """Shapes from SURVEY.md §2.1 (verified against the shipped .mat files)."""
+    hw = DATASET_REGISTRY["HandWritten"]()
+    assert hw.num_views == 6 and len(hw) == 2000 and hw.num_classes == 10
+    assert [int(d[0]) for d in hw.dims] == [240, 76, 216, 47, 64, 6]
+    views, y = hw.arrays()
+    assert all(v.min() >= 0.0 and v.max() <= 1.0 for v in views)
+    assert y.min() == 0 and y.max() == 9
+
+    cub = DATASET_REGISTRY["CUB"]()
+    assert cub.num_views == 2 and len(cub) == 600 and cub.num_classes == 10
+    assert [int(d[0]) for d in cub.dims] == [1024, 300]
+
+    pie = DATASET_REGISTRY["PIE"]()
+    assert pie.num_views == 3 and len(pie) == 680 and pie.num_classes == 68
+
+    scene = DATASET_REGISTRY["Scene"]()
+    assert scene.num_views == 3 and len(scene) == 4485 and scene.num_classes == 15
+    assert [int(d[0]) for d in scene.dims] == [20, 59, 40]
+
+
+def test_conflict_injection():
+    """Conflict replaces one view of selected rows with the NEXT class's
+    first-occurrence prototype; labels unchanged (dataset.py:246-268)."""
+    n, v, d, c = 60, 3, 8, 4
+    x = np.stack([RNG.random((n, d)) for _ in range(v)])
+    y = np.repeat(np.arange(c), n // c)
+    ds = MultiViewDataset("t", x, y.copy() + 1)  # +1 to exercise 0-base shift
+    assert ds.Y.min() == 0
+    orig = [xv.copy() for xv in ds.X]
+    protos = {
+        cc: {vv: ds.X[vv][np.where(ds.Y == cc)[0][0]].copy() for vv in range(v)}
+        for cc in range(c)
+    }
+    test_idx = np.arange(30, 60)
+    rng = np.random.default_rng(5)
+    ds.postprocessing(test_idx, addConflict=True, ratio_conflict=1.0, rng=rng)
+    # labels unchanged
+    np.testing.assert_array_equal(ds.Y, y)
+    changed = 0
+    for i in test_idx:
+        for vv in range(v):
+            if not np.allclose(ds.X[vv][i], orig[vv][i]):
+                changed += 1
+                expected = protos[(ds.Y[i] + 1) % c][vv]
+                np.testing.assert_allclose(ds.X[vv][i], expected)
+    assert changed >= len(test_idx) * 0.8  # one view per selected row
+    # train rows untouched
+    for vv in range(v):
+        np.testing.assert_allclose(ds.X[vv][:30], orig[vv][:30])
+
+
+def test_noise_injection():
+    n, v, d = 40, 2, 6
+    x = np.stack([np.zeros((n, d), np.float32) for _ in range(v)])
+    ds = MultiViewDataset("t", x, np.zeros(n))
+    ds.postprocessing(
+        np.arange(n), addNoise=True, sigma=1.0, ratio_noise=0.5,
+        rng=np.random.default_rng(0),
+    )
+    per_row = [np.abs(ds.X[vv]).sum(1) > 0 for vv in range(v)]
+    noised_rows = np.logical_or.reduce(per_row).sum()
+    assert 10 <= noised_rows <= 20  # exactly 20 selected, >=1 view each
+
+
+def test_simple_two_modal_plus():
+    ds = SimpleTwoModalPlus(n_samples=500, rho=0.8, shared_class_frac=0.8, seed=3)
+    assert ds.X1.shape == (500, 32) and ds.X2.shape == (500, 32)
+    assert set(np.unique(ds.y)) <= {0, 1, 2}
+    # dependence knob: rho=1 -> G1 == G2 (before class means/noise)
+    ds_full = SimpleTwoModalPlus(
+        n_samples=200, rho=1.0, shared_class_frac=0.0, noise_std=0.0,
+        hetero_noise=False, d_spurious=0, nonlinear_shared=False,
+        beta_specific=0.0, alpha_shared=1.0, seed=0,
+    )
+    np.testing.assert_allclose(ds_full.extras["G1"], ds_full.extras["G2"], atol=1e-6)
+
+    ds0, train, val = make_simple_plus_splits(n_samples=300, seed=1, rho=0.5)
+    (x1t, x2t), yt = train
+    (x1v, x2v), yv = val
+    assert len(yt) == 240 and len(yv) == 60
+    assert x1t.shape[1] == 32
+
+
+def test_generate_data_simple():
+    total, labels, extras = generate_data_simple(
+        400, {"Zs": 4, "Z1": 4, "Z2": 4, "X": 10, "Y": 10}, shared_frac=0.5, seed=0
+    )
+    assert total.shape == (2, 400, 10)
+    assert set(np.unique(labels)) == {0.0, 1.0}
+    # median threshold keeps classes roughly balanced
+    assert 0.4 < labels.mean() < 0.6
+
+
+def test_wav_roundtrip_and_native_parity(tmp_path):
+    from disentagled_multimodal_fusion_tpu.data.audio import mfcc, wav_to_mfcc_mean
+    from disentagled_multimodal_fusion_tpu.data.native_featurizer import (
+        available,
+        featurize_wav_files,
+        mfcc_mean_native,
+    )
+
+    mono = (RNG.standard_normal(24000) * 0.1).astype(np.float32)
+    ref = mfcc(mono).mean(axis=1)
+    if available():
+        nat = mfcc_mean_native(mono)
+        np.testing.assert_allclose(nat, ref, atol=1e-4)
+
+    p = tmp_path / "t.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        sig = (RNG.standard_normal((22050, 2)) * 3000).astype("<i2")
+        w.writeframes(sig.tobytes())
+    feats = featurize_wav_files([str(p)])
+    ref2 = wav_to_mfcc_mean(str(p))
+    assert feats.shape == (1, 40)
+    np.testing.assert_allclose(feats[0], ref2, atol=5e-3)
+
+
+def test_fake_luma_pipeline(tmp_path):
+    from disentagled_multimodal_fusion_tpu.data.luma import get_luma_arrays, make_fake_luma
+    from disentagled_multimodal_fusion_tpu.runners.test_luma import main as smoke
+
+    root = make_fake_luma(tmp_path / "luma", n_classes=3, train_per_class=4, test_per_class=2)
+    xs_tr, y_tr, xs_te, y_te, n_cls, n_views, dims = get_luma_arrays(root)
+    assert n_cls == 3 and n_views == 3
+    assert xs_tr[0].shape == (12, 40)
+    assert xs_tr[1].shape == (12, 128)
+    assert xs_tr[2].shape == (12, 3072)
+    assert len(y_te) == 6
+    # images are real (bug fix): per-class color channel -> features differ
+    assert not np.allclose(xs_tr[2][0], xs_tr[2][-1])
+    # replicate_image_bug -> identical placeholder everywhere
+    xs_bug, *_ = get_luma_arrays(root, replicate_image_bug=True, cache=False)
+    assert np.allclose(xs_bug[2][0], xs_bug[2][-1])
+    assert smoke(["--data-path", root]) == 0

@@ -1,0 +1,183 @@
+"""Seeded end-to-end slices on the synthetic generator (no downloads):
+DMVAE -> probes/baselines -> evaluation -> flattening, small but real."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from disentagled_multimodal_fusion_tpu.core.tasks import (
+    build_disentangled_probe_task,
+    build_dmvae_task,
+    build_intermediate_fusion_task,
+    build_late_fusion_task,
+    build_probe_task,
+    build_disentangledssl_task,
+    embed_dataset,
+    embed_dataset_ssl,
+)
+from disentagled_multimodal_fusion_tpu.core.train import train
+from disentagled_multimodal_fusion_tpu.data.synthetic import make_simple_plus_splits
+from disentagled_multimodal_fusion_tpu.eval.analysis import (
+    evaluate_subjective_model,
+    evaluate_subjective_model_with_shared,
+    flatten_sample_info,
+)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    ds, (xs_tr, y_tr), (xs_va, y_va) = make_simple_plus_splits(
+        n_samples=1200, rho=0.6, shared_class_frac=0.6, seed=0,
+        class_sep_shared=1.5, class_sep_private=1.3, noise_std=0.4,
+        hetero_noise=False, conflict_frac=0.1, conflict_strength=0.3,
+        nonlinear_shared=False, d_spurious=4,
+    )
+    return (
+        tuple(jnp.asarray(x) for x in xs_tr), jnp.asarray(y_tr),
+        tuple(jnp.asarray(x) for x in xs_va), jnp.asarray(y_va),
+    )
+
+
+@pytest.fixture(scope="module")
+def dmvae_backbone(synth):
+    xs_tr, y_tr, xs_va, y_va = synth
+    key = jax.random.PRNGKey(0)
+    model, params, loss_fn, opt, _ = build_dmvae_task(
+        rng=key, xs_sample=xs_tr, output_dim=[20, 20], embed_dim=8,
+        hidden_dim=128, a=1e-5, lr=1e-3, num_epochs=25,
+    )
+    res = train(
+        rng=key, params=params, loss_fn=loss_fn, data={"xs": xs_tr},
+        n_train=xs_tr[0].shape[0], optimizer=opt, epochs=25,
+        batch_size=128, drop_last=True,
+    )
+    assert float(res.train_loss[-1]) < float(res.train_loss[0])
+    return model, res.params
+
+
+def test_probe_beats_chance(synth, dmvae_backbone):
+    xs_tr, y_tr, xs_va, y_va = synth
+    model, params = dmvae_backbone
+    zc_tr, zp_tr = embed_dataset(model, params, xs_tr)
+    zc_va, zp_va = embed_dataset(model, params, xs_va)
+    tr = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
+    va = {"zc": zc_va, "zp": zp_va, "y": y_va}
+    task = build_probe_task(
+        rng=jax.random.PRNGKey(1), num_modalities=2, num_classes=3,
+        input_dim=8, hidden_dim=(64,), lr=3e-3, dropout=0.1,
+        annealing_start=10, aggregation="cml", fused=0.0, num_epochs=40,
+    )
+    res = train(
+        rng=jax.random.PRNGKey(2), params=task.params, loss_fn=task.loss_fn,
+        data=tr, n_train=int(zc_tr.shape[0]), optimizer=task.optimizer,
+        epochs=40, batch_size=128, drop_last=True,
+        val_fn=task.val_fn, val_data=va,
+    )
+    info = evaluate_subjective_model_with_shared(task, res.params, va)
+    assert info["fused"]["accuracy"] > 0.55  # 3 classes, chance ~0.33
+    row = flatten_sample_info(info, seed=0, pct=60, model="dmvae_cml")
+    assert "shared_accuracy" in row and "view_1_accuracy" in row
+    # uncertainty metrics sane: epistemic in (0, 1], aleatoric >= 0
+    assert 0.0 < info["fused"]["epistemic_mean"] <= 1.0
+    assert info["fused"]["aleatoric_mean"] > 0.0
+
+
+def test_disentangled_probe_and_joint_agg(synth, dmvae_backbone):
+    xs_tr, y_tr, xs_va, y_va = synth
+    model, params = dmvae_backbone
+    zc_tr, zp_tr = embed_dataset(model, params, xs_tr)
+    zc_va, zp_va = embed_dataset(model, params, xs_va)
+    tr = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
+    va = {"zc": zc_va, "zp": zp_va, "y": y_va}
+    dis = build_disentangled_probe_task(
+        rng=jax.random.PRNGKey(4), num_modalities=2, num_classes=3,
+        input_dim=8, hidden_dim=(64,), lr=3e-3, dropout=0.1,
+        annealing_start=10, aggregation="cml",
+    )
+    res = train(
+        rng=jax.random.PRNGKey(5), params=dis.params, loss_fn=dis.loss_fn,
+        data=tr, n_train=int(zc_tr.shape[0]), optimizer=dis.optimizer,
+        epochs=30, batch_size=128, drop_last=True,
+        val_fn=dis.val_fn, val_data=va,
+    )
+    info = evaluate_subjective_model(dis, res.params, va)
+    assert info["fused"]["accuracy"] > 0.5
+    assert len(info["per_view"]) == 2 and "shared" not in info
+
+    joint = build_probe_task(
+        rng=jax.random.PRNGKey(6), num_modalities=2, num_classes=3,
+        input_dim=8, hidden_dim=(64,), lr=3e-3, dropout=0.1,
+        annealing_start=10, aggregation="joint", fused=1.0, num_epochs=30,
+    )
+    res_j = train(
+        rng=jax.random.PRNGKey(7), params=joint.params, loss_fn=joint.loss_fn,
+        data=tr, n_train=int(zc_tr.shape[0]), optimizer=joint.optimizer,
+        epochs=30, batch_size=128, drop_last=True,
+        val_fn=joint.val_fn, val_data=va,
+    )
+    info_j = evaluate_subjective_model_with_shared(joint, res_j.params, va)
+    assert info_j["fused"]["accuracy"] > 0.5
+
+
+@pytest.mark.parametrize("agg", ["cml", "avg", "dbf"])
+def test_late_fusion_aggregations(synth, agg):
+    xs_tr, y_tr, xs_va, y_va = synth
+    lf = build_late_fusion_task(
+        rng=jax.random.PRNGKey(8), output_dims=[20, 20], num_classes=3,
+        hidden_dim=(64,), dropout=0.1, lr=3e-3, annealing_start=10,
+        aggregation=agg, fused=0.0,
+    )
+    res = train(
+        rng=jax.random.PRNGKey(9), params=lf.params, loss_fn=lf.loss_fn,
+        data={"xs": xs_tr, "y": y_tr}, n_train=xs_tr[0].shape[0],
+        optimizer=lf.optimizer, epochs=30, batch_size=128, drop_last=True,
+        val_fn=lf.val_fn, val_data={"xs": xs_va, "y": y_va},
+    )
+    info = evaluate_subjective_model(lf, res.params, {"xs": xs_va, "y": y_va})
+    assert info["fused"]["accuracy"] > 0.5, agg
+
+
+def test_intermediate_fusion(synth):
+    xs_tr, y_tr, xs_va, y_va = synth
+    imf = build_intermediate_fusion_task(
+        rng=jax.random.PRNGKey(10), output_dims=[20, 20], num_classes=3,
+        hidden_dim=64, dropout=0.1, lr=3e-3, annealing_start=10,
+    )
+    res = train(
+        rng=jax.random.PRNGKey(11), params=imf.params, loss_fn=imf.loss_fn,
+        data={"xs": xs_tr, "y": y_tr}, n_train=xs_tr[0].shape[0],
+        optimizer=imf.optimizer, epochs=30, batch_size=128, drop_last=True,
+        val_fn=imf.val_fn, val_data={"xs": xs_va, "y": y_va},
+    )
+    assert float(res.val_acc[-1]) > 0.5
+
+
+def test_disentangledssl_trains_and_probes(synth):
+    xs_tr, y_tr, xs_va, y_va = synth
+    model, params, loss_fn, opt = build_disentangledssl_task(
+        rng=jax.random.PRNGKey(12), output_dim=[20, 20], hidden_dim=64,
+        embed_dim=8, distribution="normal", lr=1e-3, epochs=10,
+    )
+    res = train(
+        rng=jax.random.PRNGKey(13), params=params, loss_fn=loss_fn,
+        data={"xs": xs_tr}, n_train=xs_tr[0].shape[0], optimizer=opt,
+        epochs=10, batch_size=128, drop_last=True,
+    )
+    assert np.isfinite(float(res.train_loss[-1]))
+    zc, zp = embed_dataset_ssl(model, res.params, xs_va)
+    assert zc.shape == (xs_va[0].shape[0], 16)
+    assert zp.shape == (xs_va[0].shape[0], 2, 8)
+
+
+def test_checkpoint_roundtrip(tmp_path, synth, dmvae_backbone):
+    from disentagled_multimodal_fusion_tpu.core.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model, params = dmvae_backbone
+    path = save_checkpoint(str(tmp_path / "ckpt"), params, {"a": 1e-5})
+    restored = restore_checkpoint(path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

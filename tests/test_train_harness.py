@@ -1,0 +1,121 @@
+"""Trainer tests: LR schedules vs torch, plateau semantics, masked batching."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from disentagled_multimodal_fusion_tpu.core.train import (
+    OptimizerConfig,
+    _cosine_lr,
+    _epoch_batches,
+    _plateau_update,
+    train,
+)
+
+
+def test_cosine_matches_torch():
+    lr0, t_max, eta = 3e-4, 50, 1e-6
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr0)
+    sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=t_max, eta_min=eta)
+    cfg = OptimizerConfig(lr=lr0, schedule="cosine", cosine_t_max=t_max, eta_min=eta)
+    for epoch in range(60):
+        torch_lr = opt.param_groups[0]["lr"]
+        ours = float(_cosine_lr(cfg, epoch))
+        assert abs(ours - torch_lr) < 1e-9 + 1e-5 * torch_lr, (epoch, ours, torch_lr)
+        opt.step()
+        sch.step()
+
+
+def test_plateau_matches_torch():
+    lr0 = 1e-2
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr0)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.1, patience=3
+    )
+    cfg = OptimizerConfig(
+        lr=lr0, schedule="plateau", plateau_factor=0.1, plateau_patience=3
+    )
+    state = (jnp.float32(lr0), jnp.float32(np.inf), jnp.int32(0))
+    rng = np.random.default_rng(0)
+    metrics = list(1.0 - 0.01 * np.arange(10)) + [0.9] * 12 + [0.1, 0.1, 0.1]
+    for m in metrics:
+        sch.step(m)
+        state = _plateau_update(cfg, state, jnp.float32(m))
+        torch_lr = opt.param_groups[0]["lr"]
+        assert abs(float(state[0]) - torch_lr) < 1e-7 * max(1.0, torch_lr), (
+            m, float(state[0]), torch_lr,
+        )
+
+
+def test_epoch_batches_mask():
+    idx, mask = _epoch_batches(jax.random.PRNGKey(0), 10, 4, drop_last=False, shuffle=True)
+    assert idx.shape == (3, 4) and mask.shape == (3, 4)
+    assert float(mask.sum()) == 10
+    # every real index appears exactly once among the valid slots
+    valid = np.asarray(idx)[np.asarray(mask) == 1]
+    assert sorted(valid.tolist()) == list(range(10))
+
+    idx, mask = _epoch_batches(jax.random.PRNGKey(0), 10, 4, drop_last=True, shuffle=True)
+    assert idx.shape == (2, 4)
+    assert float(mask.sum()) == 8
+
+
+def test_train_linear_regression_converges():
+    """Least squares via the harness; masked ragged tail batch included."""
+    rng = np.random.default_rng(0)
+    w_true = rng.standard_normal((5, 1)).astype(np.float32)
+    x = rng.standard_normal((103, 5)).astype(np.float32)  # 103 % 16 != 0
+    y = x @ w_true
+
+    params = {"w": jnp.zeros((5, 1))}
+
+    def loss_fn(params, batch, mask, t, key):
+        pred = batch["x"] @ params["w"]
+        se = (pred - batch["y"]) ** 2
+        m = mask[:, None]
+        return jnp.sum(se * m) / jnp.maximum(jnp.sum(m), 1.0), {}
+
+    res = train(
+        rng=jax.random.PRNGKey(0), params=params, loss_fn=loss_fn,
+        data={"x": jnp.asarray(x), "y": jnp.asarray(y)}, n_train=103,
+        optimizer=OptimizerConfig(name="adam", lr=3e-2, schedule="constant"),
+        epochs=200, batch_size=16, drop_last=False,
+    )
+    w = np.asarray(res.params["w"])
+    assert float(res.train_loss[-1]) < 1e-3
+    np.testing.assert_allclose(w, w_true, atol=0.05)
+
+
+def test_train_with_validation_and_plateau():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((64, 3)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.int64)
+
+    params = {"w": jnp.zeros((3, 2))}
+
+    def loss_fn(params, batch, mask, t, key):
+        logits = batch["x"] @ params["w"]
+        ll = -jax.nn.log_softmax(logits)[jnp.arange(logits.shape[0]), batch["y"]]
+        return jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1.0), {}
+
+    def val_fn(params, data, t):
+        logits = data["x"] @ params["w"]
+        ll = -jax.nn.log_softmax(logits)[jnp.arange(logits.shape[0]), data["y"]]
+        acc = jnp.mean((jnp.argmax(logits, 1) == data["y"]).astype(jnp.float32))
+        return jnp.mean(ll), acc
+
+    data = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+    res = train(
+        rng=jax.random.PRNGKey(0), params=params, loss_fn=loss_fn, data=data,
+        n_train=64,
+        optimizer=OptimizerConfig(
+            name="adam", lr=0.05, schedule="plateau", plateau_patience=5
+        ),
+        epochs=50, batch_size=16, val_fn=val_fn, val_data=data,
+    )
+    assert float(res.val_acc[-1]) > 0.9
+    assert np.all(np.isfinite(np.asarray(res.val_loss)))
