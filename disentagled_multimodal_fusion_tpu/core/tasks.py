@@ -164,10 +164,13 @@ def build_probe_task(
     aggregation: str = "cml",
     fused: float = 1.0,
     num_epochs: int = 200,
+    shared_input_dim: Optional[int] = None,
 ) -> EvidentialTask:
     """Shared+private evidential probe (evidential_probe.py:11-212).
 
-    Data pytree: {'zc': (B, D), 'zp': (B, N, D), 'y': (B,)}.
+    Data pytree: {'zc': (B, Ds), 'zp': (B, N, D), 'y': (B,)}. Set
+    ``shared_input_dim`` when the backbone's Zc width differs from the
+    private width (DisentangledSSL: Zc = 2*embed).
     """
     model = EvidentialProbe(
         num_modalities=num_modalities,
@@ -175,9 +178,10 @@ def build_probe_task(
         input_dim=input_dim,
         hidden_dim=tuple(hidden_dim),
         dropout=dropout,
+        shared_input_dim=shared_input_dim,
     )
     agg = AGGREGATIONS[aggregation]
-    zc0 = jnp.zeros((2, input_dim))
+    zc0 = jnp.zeros((2, shared_input_dim or input_dim))
     zp0 = [jnp.zeros((2, input_dim))] * num_modalities
     params = model.init({"params": rng, "dropout": rng}, zc0, zp0, train=True)["params"]
     num_views = 1 + num_modalities

@@ -19,7 +19,7 @@ none of the redundant backbone FLOPs.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -28,19 +28,28 @@ from .layers import EvidentialNN
 
 
 class EvidentialProbe(nn.Module):
-    """Shared + per-modality evidential heads (evidential_probe.py:11-103)."""
+    """Shared + per-modality evidential heads (evidential_probe.py:11-103).
+
+    ``shared_input_dim`` lets the shared head size differ from the private
+    heads — needed for DisentangledSSL backbones whose Zc is the CONCAT of
+    both modalities' shared codes (2*embed) while Zp_i are embed-sized
+    (disentangledssl.py:67-80); the reference probe would shape-error there.
+    """
 
     num_modalities: int
     num_classes: int
     input_dim: int
     hidden_dim: Sequence[int] = (32,)
     dropout: float = 0.3
+    shared_input_dim: Optional[int] = None
     dtype: Any = None
 
     def setup(self):
         layers = (self.input_dim, *tuple(self.hidden_dim))
+        shared_layers = (self.shared_input_dim or self.input_dim, *tuple(self.hidden_dim))
         self.x_shared = EvidentialNN(
-            layers=layers, output_dims=self.num_classes, dropout=self.dropout, dtype=self.dtype
+            layers=shared_layers, output_dims=self.num_classes,
+            dropout=self.dropout, dtype=self.dtype,
         )
         self.x_specs = tuple(
             EvidentialNN(

@@ -26,6 +26,10 @@ def main(argv=None):
     parser.add_argument("--deps", type=int, nargs="*", default=None)
     parser.add_argument("--quick", action="store_true",
                         help="tiny epoch counts for smoke testing")
+    parser.add_argument("--backbone", choices=["dmvae", "dssl"], default="dmvae",
+                        help="disentangling backbone: DMVAE (reference "
+                             "protocol) or DisentangledSSL (drop-in, "
+                             "disentangledssl.py:17-194)")
     args = parser.parse_args(argv)
 
     configure()
@@ -33,10 +37,12 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..core.tasks import (
+        build_disentangledssl_task,
         build_dmvae_task,
         build_late_fusion_task,
         build_probe_task,
         embed_dataset,
+        embed_dataset_ssl,
     )
     from ..core.train import train
     from ..core.checkpoint import save_checkpoint
@@ -98,17 +104,33 @@ def main(argv=None):
             key = jax.random.PRNGKey(seed)
             k_dmvae, k_probe, k_cml, k_avg, k_train = jax.random.split(key, 5)
 
-            # ---- DMVAE (run_synthetic.py:53-72) ----
-            model, params, loss_fn, opt, bstats = build_dmvae_task(
-                rng=k_dmvae,
-                xs_sample=xs_tr,
-                output_dim=C("dmvae.output_dim", [32, 32]),
-                a=C("dmvae.a", 1e-5),
-                hidden_dim=C("dmvae.hidden_dim", 512),
-                embed_dim=C("dmvae.embed_dim", 16),
-                lr=C("dmvae.lr", 1e-3),
-                num_epochs=dmvae_epochs,
-            )
+            # ---- backbone: DMVAE (run_synthetic.py:53-72) or DisentangledSSL ----
+            embed_dim = C("dmvae.embed_dim", 16)
+            shared_dim = embed_dim
+            if args.backbone == "dmvae":
+                model, params, loss_fn, opt, bstats = build_dmvae_task(
+                    rng=k_dmvae,
+                    xs_sample=xs_tr,
+                    output_dim=C("dmvae.output_dim", [32, 32]),
+                    a=C("dmvae.a", 1e-5),
+                    hidden_dim=C("dmvae.hidden_dim", 512),
+                    embed_dim=embed_dim,
+                    lr=C("dmvae.lr", 1e-3),
+                    num_epochs=dmvae_epochs,
+                )
+            else:
+                model, params, loss_fn, opt = build_disentangledssl_task(
+                    rng=k_dmvae,
+                    output_dim=C("dmvae.output_dim", [32, 32]),
+                    hidden_dim=C("dssl.hidden_dim", 512),
+                    embed_dim=embed_dim,
+                    a=C("dssl.a", 1.0),
+                    distribution=C("dssl.distribution", "vmf"),
+                    vmfkappa=C("dssl.vmfkappa", 1.0),
+                    lr=C("dssl.lr", 1e-3),
+                    epochs=dmvae_epochs,
+                )
+                shared_dim = 2 * embed_dim  # Zc = concat(zsx1, zsx2)
             res = train(
                 rng=k_train, params=params, loss_fn=loss_fn, data={"xs": xs_tr},
                 n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
@@ -116,12 +138,16 @@ def main(argv=None):
             )
             dmvae_params = res.params
             save_checkpoint(
-                f"checkpoints/dmvae_seed{seed}_dep{dep}", dmvae_params,
-                {"seed": seed, "dep": dep, "model": "dmvae"},
+                f"checkpoints/{args.backbone}_seed{seed}_dep{dep}", dmvae_params,
+                {"seed": seed, "dep": dep, "model": args.backbone},
             )
 
-            zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr)
-            zc_va, zp_va = embed_dataset(model, dmvae_params, xs_va)
+            if args.backbone == "dmvae":
+                zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr)
+                zc_va, zp_va = embed_dataset(model, dmvae_params, xs_va)
+            else:
+                zc_tr, zp_tr = embed_dataset_ssl(model, dmvae_params, xs_tr)
+                zc_va, zp_va = embed_dataset_ssl(model, dmvae_params, xs_va)
             probe_train = {"zc": zc_tr, "zp": zp_tr, "y": y_tr_j}
             probe_val = {"zc": zc_va, "zp": zp_va, "y": y_va_j}
 
@@ -138,6 +164,7 @@ def main(argv=None):
                 aggregation=C("dmvae_fusion.aggregation", "cml"),
                 fused=0.0,
                 num_epochs=fusion_epochs,
+                shared_input_dim=shared_dim,
             )
             res_p = train(
                 rng=jax.random.fold_in(k_train, 1), params=task.params,
