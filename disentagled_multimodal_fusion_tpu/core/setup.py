@@ -12,6 +12,11 @@ def configure(cache_dir: str = "/tmp/jax_cache") -> None:
     The cache is namespaced per backend — entries serialized by the TPU
     (axon) runtime fail to deserialize under the CPU backend and vice versa.
     """
+    # Quiet the cpu_aot_loader machine-feature-mismatch ERROR spam: cache
+    # entries compiled with a wider ISA are rejected-and-recompiled, which
+    # is fine but extremely noisy.
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
     import jax
 
     # The axon sitecustomize force-registers the TPU plugin and overrides
@@ -24,7 +29,14 @@ def configure(cache_dir: str = "/tmp/jax_cache") -> None:
         except Exception:
             pass
 
-    cache_dir = f"{cache_dir}_{jax.default_backend()}"
+    backend = jax.default_backend()
+    if backend == "cpu":
+        # XLA:CPU AOT cache entries record compile-option pseudo-features
+        # (+prefer-no-gather/scatter) that never match the host feature
+        # probe, so the persistent cache can't hit on CPU — it only spams
+        # rejection errors. Rely on the in-process jit cache instead.
+        return
+    cache_dir = f"{cache_dir}_{backend}"
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -152,13 +152,83 @@ def train(
     Otherwise val_fn is (params, val_data, t) -> (val_loss, val_acc).
     """
     has_state = model_state is not None
-    tx = _make_tx(optimizer)
-    opt_state = tx.init(params)
-    plateau_state = (
-        jnp.float32(optimizer.lr),
-        jnp.float32(jnp.inf),
-        jnp.int32(0),
+    program = make_train_program(
+        loss_fn=loss_fn,
+        n_train=n_train,
+        optimizer=optimizer,
+        epochs=epochs,
+        batch_size=batch_size,
+        drop_last=drop_last,
+        shuffle=shuffle,
+        val_fn=val_fn,
+        has_state=has_state,
     )
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def run(params, rng, data, val_data, model_state):
+        return program(params, rng, data, val_data, model_state)
+
+    # Fresh key buffer: donation would otherwise invalidate the caller's key.
+    rng = jax.random.fold_in(rng, 0x5CA1AB1E)
+    return run(params, rng, data, val_data, model_state)
+
+
+def train_many(
+    *,
+    rngs: jax.Array,
+    params_stack: Any,
+    loss_fn: Callable,
+    data_stack: Any,
+    n_train: int,
+    optimizer: OptimizerConfig,
+    epochs: int,
+    batch_size: int,
+    drop_last: bool = False,
+    shuffle: bool = True,
+    val_fn: Optional[Callable] = None,
+    val_data_stack: Any = None,
+    model_state_stack: Any = None,
+) -> TrainResult:
+    """Train S independent model instances as ONE vmapped XLA program.
+
+    TPU-first sweep vectorisation (no reference counterpart — the reference
+    loops seeds in Python, run.py:180): every pytree input carries a leading
+    S axis (stacked seeds/instances); the full scan-per-epoch program is
+    vmapped over it, so S trainings share each fused kernel with S x the
+    arithmetic intensity. Returns a TrainResult whose leaves have the S
+    leading axis.
+    """
+    program = make_train_program(
+        loss_fn=loss_fn,
+        n_train=n_train,
+        optimizer=optimizer,
+        epochs=epochs,
+        batch_size=batch_size,
+        drop_last=drop_last,
+        shuffle=shuffle,
+        val_fn=val_fn,
+        has_state=model_state_stack is not None,
+    )
+    run = jax.jit(jax.vmap(program))
+    rngs = jax.vmap(lambda k: jax.random.fold_in(k, 0x5CA1AB1E))(rngs)
+    return run(params_stack, rngs, data_stack, val_data_stack, model_state_stack)
+
+
+def make_train_program(
+    *,
+    loss_fn: Callable,
+    n_train: int,
+    optimizer: OptimizerConfig,
+    epochs: int,
+    batch_size: int,
+    drop_last: bool,
+    shuffle: bool,
+    val_fn: Optional[Callable],
+    has_state: bool,
+):
+    """Build the pure (params, rng, data, val_data, model_state) -> TrainResult
+    program shared by train() and train_many()."""
+    tx = _make_tx(optimizer)
 
     def lr_for_epoch(epoch, plateau_lr):
         if optimizer.schedule == "cosine":
@@ -167,55 +237,64 @@ def train(
             return plateau_lr
         return jnp.float32(optimizer.lr)
 
-    def step_fn(carry, batch_plan):
-        params, opt_state, mstate, lr, epoch, gstep = carry
-        idx, mask, key = batch_plan
-        batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
-        if has_state:
-            (loss, mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, mask, StepInfo(epoch, gstep), key, mstate
-            )
-        else:
-            (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, mask, StepInfo(epoch, gstep), key
-            )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr, updates)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state, mstate, lr, epoch, gstep + 1), loss
-
-    def epoch_fn(carry, epoch):
-        params, opt_state, mstate, key, plateau, gstep = carry
-        key, k_perm, k_steps = jax.random.split(key, 3)
-        idx, mask = _epoch_batches(k_perm, n_train, batch_size, drop_last, shuffle)
-        step_keys = jax.random.split(k_steps, idx.shape[0])
-        lr = lr_for_epoch(epoch, plateau[0])
-        (params, opt_state, mstate, _, _, gstep), losses = jax.lax.scan(
-            step_fn, (params, opt_state, mstate, lr, epoch, gstep), (idx, mask, step_keys)
+    def program(params, rng, data, val_data, model_state):
+        opt_state = tx.init(params)
+        plateau_state = (
+            jnp.float32(optimizer.lr),
+            jnp.float32(jnp.inf),
+            jnp.int32(0),
         )
-        # Weight per-batch means by valid counts for the exact epoch mean.
-        counts = jnp.sum(mask, axis=1)
-        train_loss = jnp.sum(losses * counts) / jnp.sum(counts)
 
-        if val_fn is not None:
+        def step_fn(carry, batch_plan):
+            params, opt_state, mstate, lr, epoch, gstep = carry
+            idx, mask, key = batch_plan
+            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
             if has_state:
-                val_loss, val_acc = val_fn(params, mstate, val_data, StepInfo(epoch, gstep))
+                (loss, mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch, mask, StepInfo(epoch, gstep), key, mstate
+                )
             else:
-                val_loss, val_acc = val_fn(params, val_data, StepInfo(epoch, gstep))
-            plateau = _plateau_update(optimizer, plateau, val_loss)
-        else:
-            val_loss = jnp.float32(jnp.nan)
-            val_acc = jnp.float32(jnp.nan)
-        return (params, opt_state, mstate, key, plateau, gstep), (train_loss, val_loss, val_acc)
+                (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch, mask, StepInfo(epoch, gstep), key
+                )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, mstate, lr, epoch, gstep + 1), loss
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def run(carry):
-        return jax.lax.scan(epoch_fn, carry, jnp.arange(epochs))
+        def epoch_fn(carry, epoch):
+            params, opt_state, mstate, key, plateau, gstep = carry
+            key, k_perm, k_steps = jax.random.split(key, 3)
+            idx, mask = _epoch_batches(k_perm, n_train, batch_size, drop_last, shuffle)
+            step_keys = jax.random.split(k_steps, idx.shape[0])
+            lr = lr_for_epoch(epoch, plateau[0])
+            (params, opt_state, mstate, _, _, gstep), losses = jax.lax.scan(
+                step_fn, (params, opt_state, mstate, lr, epoch, gstep),
+                (idx, mask, step_keys),
+            )
+            # Weight per-batch means by valid counts for the exact epoch mean.
+            counts = jnp.sum(mask, axis=1)
+            train_loss = jnp.sum(losses * counts) / jnp.sum(counts)
 
-    # Fresh key buffer: the carry is donated, and donating the caller's key
-    # would invalidate it for later fold_in/reuse on the host side.
-    rng = jax.random.fold_in(rng, 0x5CA1AB1E)
-    carry = (params, opt_state, model_state, rng, plateau_state, jnp.int32(0))
-    (params, _, mstate, _, plateau, _), (tl, vl, va) = run(carry)
-    return TrainResult(params=params, train_loss=tl, val_loss=vl, val_acc=va,
-                       final_lr=plateau[0], model_state=mstate)
+            if val_fn is not None:
+                if has_state:
+                    val_loss, val_acc = val_fn(params, mstate, val_data, StepInfo(epoch, gstep))
+                else:
+                    val_loss, val_acc = val_fn(params, val_data, StepInfo(epoch, gstep))
+                plateau = _plateau_update(optimizer, plateau, val_loss)
+            else:
+                val_loss = jnp.float32(jnp.nan)
+                val_acc = jnp.float32(jnp.nan)
+            return (
+                (params, opt_state, mstate, key, plateau, gstep),
+                (train_loss, val_loss, val_acc),
+            )
+
+        carry = (params, opt_state, model_state, rng, plateau_state, jnp.int32(0))
+        (params, _, mstate, _, plateau, _), (tl, vl, va) = jax.lax.scan(
+            epoch_fn, carry, jnp.arange(epochs)
+        )
+        return TrainResult(params=params, train_loss=tl, val_loss=vl, val_acc=va,
+                           final_lr=plateau[0], model_state=mstate)
+
+    return program

@@ -32,6 +32,7 @@ def run_condition(
     *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out
 ):
     from ..core.checkpoint import save_checkpoint
+    from ..core.logging import log_training_csv
     from ..core.train import train
     from ..data.multiview import DATASET_REGISTRY
     from ..eval.analysis import (
@@ -163,9 +164,11 @@ def run_condition(
             info = evaluate_subjective_model(task, res_m.params, te_data)
         else:
             info = evaluate_subjective_model_with_shared(task, res_m.params, te_data)
+        model_name = (f"{name}_fusion_ds{dataset_name}_seed{seed}"
+                      + ("_conflict" if conflict else ""))
+        log_training_csv(model_name, res_m)
         path = save_checkpoint(
-            f"checkpoints/{name}_fusion_ds{dataset_name}_seed{seed}"
-            + ("_conflict" if conflict else ""),
+            f"checkpoints/{model_name}",
             res_m.params, {"model": name, "dataset": dataset_name, "seed": seed},
         )
         info["path"] = path
@@ -179,12 +182,195 @@ def run_condition(
     print(f"  {dataset_name}/{cond}/seed{seed} done in {time.time() - t0:.1f}s", flush=True)
 
 
+def run_condition_vmapped(
+    *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed
+):
+    """Seed-vectorised variant of run_condition: all seeds of one
+    (dataset, condition) cell train as ONE vmapped program per model type
+    (core.train.train_many). Identical math per seed; ~S x throughput."""
+    import jax.numpy as jnp  # noqa: F811 (keep local for clarity)
+
+    from ..core.checkpoint import save_checkpoint
+    from ..core.logging import log_training_csv
+    from ..core.tasks import embed_dataset
+    from ..core.train import train_many
+    from ..data.multiview import DATASET_REGISTRY
+    from ..eval.analysis import (
+        evaluate_subjective_model,
+        evaluate_subjective_model_with_shared,
+    )
+
+    (build_dmvae_task, build_probe_task, build_disentangled_probe_task,
+     build_late_fusion_task, _embed) = builders
+    t0 = time.time()
+    cond = "conflict" if conflict else "normal"
+
+    # ---- per-seed splits (+ conflict injection), stacked (S, n, D) ----
+    xs_tr_l, xs_te_l, y_tr_l, y_te_l = [], [], [], []
+    for seed in seeds:
+        rng_np = np.random.default_rng(seed)
+        dataset = DATASET_REGISTRY[dataset_name]()
+        n = len(dataset)
+        idx = rng_np.permutation(n)
+        n_tr = int(C("data.split.train_frac", 0.8) * n)
+        train_idx, test_idx = idx[:n_tr], idx[n_tr:]
+        if conflict:
+            pp = C("data.conflict", {}) or {}
+            dataset.postprocessing(
+                test_idx,
+                addNoise=pp.get("addNoise", False), sigma=pp.get("sigma", 0.5),
+                ratio_noise=pp.get("ratio_noise", 0.0),
+                addConflict=pp.get("addConflict", True),
+                ratio_conflict=pp.get("ratio_conflict", 1.0), rng=rng_np,
+            )
+        views, labels = dataset.arrays()
+        xs_tr_l.append([v[train_idx] for v in views])
+        xs_te_l.append([v[test_idx] for v in views])
+        y_tr_l.append(labels[train_idx])
+        y_te_l.append(labels[test_idx])
+        num_classes = dataset.num_classes
+        dims = [int(d[0]) for d in dataset.dims]
+
+    s_count = len(seeds)
+    xs_tr = tuple(jnp.asarray(np.stack([xs_tr_l[s][v] for s in range(s_count)]))
+                  for v in range(len(dims)))
+    xs_te = tuple(jnp.asarray(np.stack([xs_te_l[s][v] for s in range(s_count)]))
+                  for v in range(len(dims)))
+    y_tr = jnp.asarray(np.stack(y_tr_l))
+    y_te = jnp.asarray(np.stack(y_te_l))
+    n_train = xs_tr[0].shape[1]
+    batch_size = C("dataloader.batch_size", 100)
+
+    lr = C("optim.dataset_lr", {}).get(dataset_name, 3e-3)
+    probe_hidden = tuple(C("probes.model_hidden_dim", (128,)))
+    probe_dropout = C("probes.dropout_p", 0.1)
+    annealing_start = C("probes.annealing_start", 50)
+    probe_epochs = 2 if quick else C("probes.model_epochs", 200)
+    dmvae_epochs = 2 if quick else C("dmvae.num_epochs", 100)
+    embed_dim = C("dmvae.embed_dim", 200)
+    probe_input_dim = C("probes.input_dim", 200)
+
+    def stack_params(tasks_or_params):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *tasks_or_params)
+
+    seed_keys = [
+        jax.random.PRNGKey(s * 1000 + hash(dataset_name) % 997 + (500 if conflict else 0))
+        for s in seeds
+    ]
+
+    # ---- DMVAE, all seeds at once ----
+    dm = [
+        build_dmvae_task(
+            rng=jax.random.fold_in(k, 0), xs_sample=[x[0] for x in xs_tr],
+            output_dim=dims, dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
+            hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
+            lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
+        )
+        for k in seed_keys
+    ]
+    model, _, loss_fn, opt, _ = dm[0]
+    params_stack = stack_params([t[1] for t in dm])
+    res = train_many(
+        rngs=jnp.stack([jax.random.fold_in(k, 1) for k in seed_keys]),
+        params_stack=params_stack, loss_fn=loss_fn, data_stack={"xs": xs_tr},
+        n_train=n_train, optimizer=opt, epochs=dmvae_epochs, batch_size=batch_size,
+    )
+    dmvae_params = res.params
+    print(f"  [{dataset_name}/{cond}] DMVAE x{s_count} seeds trained "
+          f"({time.time() - t0:.1f}s)", flush=True)
+
+    embed_v = jax.jit(jax.vmap(lambda p, xs: embed_dataset(model, p, xs)),
+                      static_argnums=())
+    zc_tr, zp_tr = embed_v(dmvae_params, xs_tr)
+    zc_te, zp_te = embed_v(dmvae_params, xs_te)
+    probe_train = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
+    probe_test = {"zc": zc_te, "zp": zp_te, "y": y_te}
+    lf_train = {"xs": xs_tr, "y": y_tr}
+    lf_test = {"xs": xs_te, "y": y_te}
+
+    # ---- six model types, each vmapped over seeds ----
+    def probe_builder(agg, fused):
+        def b(k):
+            return build_probe_task(
+                rng=k, num_modalities=len(dims), num_classes=num_classes,
+                input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
+                dropout=probe_dropout, annealing_start=annealing_start,
+                aggregation=agg, fused=fused, num_epochs=probe_epochs,
+            )
+        return b
+
+    def dis_builder(k):
+        return build_disentangled_probe_task(
+            rng=k, num_modalities=len(dims), num_classes=num_classes,
+            input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
+            dropout=probe_dropout, annealing_start=annealing_start,
+            num_epochs=probe_epochs,
+        )
+
+    def lf_builder(agg):
+        def b(k):
+            return build_late_fusion_task(
+                rng=k, output_dims=dims, num_classes=num_classes,
+                hidden_dim=probe_hidden, dropout=probe_dropout, lr=lr,
+                annealing_start=annealing_start, aggregation=agg, fused=1.0,
+            )
+        return b
+
+    jobs = [
+        ("dmvae_dis", dis_builder, probe_train, probe_test),
+        ("dmvae_cml", probe_builder("cml", 1.0), probe_train, probe_test),
+        ("dmvae_joint", probe_builder("joint", 1.0), probe_train, probe_test),
+        ("dbf_fusion", lf_builder("dbf"), lf_train, lf_test),
+        ("cml_fusion", lf_builder("cml"), lf_train, lf_test),
+        ("avg_fusion", lf_builder("avg"), lf_train, lf_test),
+    ]
+    for j, (name, builder, tr_d, te_d) in enumerate(jobs):
+        tasks = [builder(jax.random.fold_in(k, 10 + j)) for k in seed_keys]
+        task = tasks[0]
+        params_stack = stack_params([t.params for t in tasks])
+        res_m = train_many(
+            rngs=jnp.stack([jax.random.fold_in(k, 100 + j) for k in seed_keys]),
+            params_stack=params_stack, loss_fn=task.loss_fn, data_stack=tr_d,
+            n_train=n_train, optimizer=task.optimizer, epochs=probe_epochs,
+            batch_size=batch_size, val_fn=task.val_fn, val_data_stack=te_d,
+        )
+        for s, seed in enumerate(seeds):
+            params_s = jax.tree.map(lambda a: a[s], res_m.params)
+            te_s = jax.tree.map(lambda a: a[s], te_d)
+            if name == "dmvae_dis":
+                info = evaluate_subjective_model(task, params_s, te_s)
+            else:
+                info = evaluate_subjective_model_with_shared(task, params_s, te_s)
+            model_name = (f"{name}_fusion_ds{dataset_name}_seed{seed}"
+                          + ("_conflict" if conflict else ""))
+            from ..core.train import TrainResult
+            log_training_csv(model_name, TrainResult(
+                params=None, train_loss=res_m.train_loss[s],
+                val_loss=res_m.val_loss[s], val_acc=res_m.val_acc[s],
+                final_lr=res_m.final_lr[s]))
+            info["path"] = save_checkpoint(
+                f"checkpoints/{model_name}", params_s,
+                {"model": name, "dataset": dataset_name, "seed": seed},
+            )
+            rows_by_seed[seed][name] = info
+        accs = [rows_by_seed[s][name]["fused"]["accuracy"] for s in seeds]
+        print(f"  [{dataset_name}/{cond}] {name} x{s_count}: fused_acc "
+              f"{np.mean(accs):.4f} +/- {np.std(accs):.4f}", flush=True)
+    print(f"  {dataset_name}/{cond} ({s_count} seeds) done in "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--seeds", type=int, nargs="*", default=None)
     parser.add_argument("--datasets", type=str, nargs="*", default=None)
     parser.add_argument("--conditions", type=str, nargs="*", default=["Normal", "Conflict"])
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--vmap-seeds", action="store_true",
+        help="train all seeds of each (dataset, condition) cell as one "
+             "vmapped program (same math, ~Nx throughput)",
+    )
     args = parser.parse_args(argv)
 
     configure()
@@ -216,26 +402,44 @@ def main(argv=None):
 
     t_start = time.time()
     rows = {}
-    for seed in seeds:
-        rows[seed] = {}
-        if "Normal" in args.conditions:
-            rows[seed]["Normal"] = {}
-            for ds_name in normal_ds:
-                rows[seed]["Normal"][ds_name] = {}
-                run_condition(
-                    C=C, seed=seed, dataset_name=ds_name, conflict=False,
+    if args.vmap_seeds:
+        for seed in seeds:
+            rows[seed] = {c: {} for c in args.conditions}
+        for cond_name, ds_list, is_conflict in [
+            ("Normal", normal_ds, False), ("Conflict", conflict_ds, True),
+        ]:
+            if cond_name not in args.conditions:
+                continue
+            for ds_name in ds_list:
+                rows_by_seed = {s: {} for s in seeds}
+                run_condition_vmapped(
+                    C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
                     quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
-                    rows_out=rows[seed]["Normal"][ds_name],
+                    rows_by_seed=rows_by_seed,
                 )
-        if "Conflict" in args.conditions:
-            rows[seed]["Conflict"] = {}
-            for ds_name in conflict_ds:
-                rows[seed]["Conflict"][ds_name] = {}
-                run_condition(
-                    C=C, seed=seed, dataset_name=ds_name, conflict=True,
-                    quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
-                    rows_out=rows[seed]["Conflict"][ds_name],
-                )
+                for s in seeds:
+                    rows[s][cond_name][ds_name] = rows_by_seed[s]
+    else:
+        for seed in seeds:
+            rows[seed] = {}
+            if "Normal" in args.conditions:
+                rows[seed]["Normal"] = {}
+                for ds_name in normal_ds:
+                    rows[seed]["Normal"][ds_name] = {}
+                    run_condition(
+                        C=C, seed=seed, dataset_name=ds_name, conflict=False,
+                        quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
+                        rows_out=rows[seed]["Normal"][ds_name],
+                    )
+            if "Conflict" in args.conditions:
+                rows[seed]["Conflict"] = {}
+                for ds_name in conflict_ds:
+                    rows[seed]["Conflict"][ds_name] = {}
+                    run_condition(
+                        C=C, seed=seed, dataset_name=ds_name, conflict=True,
+                        quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
+                        rows_out=rows[seed]["Conflict"][ds_name],
+                    )
 
     df = build_metrics_dataframe_datasets(rows)
     df["seed"] = df["seed"].astype(int)

@@ -36,6 +36,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..core.checkpoint import save_checkpoint
+    from ..core.logging import log_training_csv
     from ..core.tasks import (
         build_disentangled_probe_task,
         build_dmvae_task,
@@ -182,6 +183,7 @@ def main(argv=None):
                 info = evaluate_subjective_model(task, res_m.params, te_d, res_m.model_state)
             else:
                 info = evaluate_subjective_model_with_shared(task, res_m.params, te_d, res_m.model_state)
+            log_training_csv(f"{name}_fusion_dsLUMA_seed{seed}", res_m)
             path = save_checkpoint(
                 f"checkpoints/{name}_fusion_dsLUMA_seed{seed}", res_m.params,
                 {"model": name, "dataset": "LUMA", "seed": seed},

@@ -46,6 +46,7 @@ def main(argv=None):
     )
     from ..core.train import train
     from ..core.checkpoint import save_checkpoint
+    from ..core.logging import log_training_csv
     from ..data.synthetic import make_simple_plus_splits
     from ..eval.analysis import (
         build_metrics_dataframe,
@@ -173,6 +174,7 @@ def main(argv=None):
                 batch_size=batch_size, drop_last=True,
                 val_fn=task.val_fn, val_data=probe_val,
             )
+            log_training_csv(f"dmvae_fusion_seed{seed}_dep{dep}", res_p)
             rows[seed][dep]["dmvae_cml"] = evaluate_subjective_model_with_shared(
                 task, res_p.params, probe_val
             )
@@ -199,6 +201,7 @@ def main(argv=None):
                     batch_size=batch_size, drop_last=True,
                     val_fn=lf.val_fn, val_data=lf_val,
                 )
+                log_training_csv(f"late_fusion_seed{seed}_dep{dep}_agg{agg}", res_lf)
                 rows[seed][dep][label] = evaluate_subjective_model(lf, res_lf.params, lf_val)
 
             acc = rows[seed][dep]["dmvae_cml"]["fused"]["accuracy"]
