@@ -37,6 +37,11 @@ def random_drop(key: jax.Array, x: jax.Array, drop_scale: int = 10) -> jax.Array
     return x * keep
 
 
+def identity_fn(x: jax.Array) -> jax.Array:
+    """Identity augmentation (reference: utils.py:133-134)."""
+    return x
+
+
 def augment_data(
     key: jax.Array, x_batch: jax.Array, noise_scale: float = 0.01, drop_scale: int = 10
 ) -> jax.Array:

@@ -9,9 +9,16 @@ grid axis so every head's forward shares the same kernel launch.
 
 Weights for these heads are KB-scale (in <= 3072, hidden 128, C <= 68),
 so everything fits VMEM comfortably; the batch axis is tiled to the MXU
-sublane size. Used by models/probes.py when ``use_pallas=True`` (falls
-back to the plain flax path on non-TPU backends or odd shapes), and
-exercised in interpret mode by tests/test_pallas.py.
+sublane size. Exercised in interpret mode by tests/test_pallas.py and
+compiled on real v5e.
+
+Measured on v5e-1 (B=1600, D=200, H=128, C=10): kernel matches the XLA
+path to ~2e-4 relative (Mosaic vs XLA f32 transcendental rounding in the
+exp/logaddexp chain) and ties it on wall-clock (~410 us/dispatch, fully
+dominated by per-call dispatch latency at these sizes — XLA already fuses
+this chain into two MXU ops, confirming SURVEY.md §7's expectation). Kept
+as the kernel-path exemplar and for future wide-head models; the flax path
+remains the default.
 """
 
 from __future__ import annotations
