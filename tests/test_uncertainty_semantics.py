@@ -1,0 +1,69 @@
+"""End-to-end uncertainty semantics: the framework's reason to exist.
+
+Train a LateFusion evidential model on clean HandWritten training rows,
+then compare its uncertainty on clean vs conflict-injected test rows
+(the reference's UQ protocol: run.py:76-102 + dataset.py:246-268).
+Conflicted views must raise disagreement-driven uncertainty signals.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from disentagled_multimodal_fusion_tpu.core.tasks import build_late_fusion_task
+from disentagled_multimodal_fusion_tpu.core.train import train
+from disentagled_multimodal_fusion_tpu.data.multiview import DATASET_REGISTRY
+from disentagled_multimodal_fusion_tpu.eval.analysis import evaluate_subjective_model
+
+HAS_MAT = (Path(__file__).parent.parent / "data" / "handwritten.mat").exists()
+
+
+@pytest.mark.skipif(not HAS_MAT, reason="data/*.mat not present")
+def test_conflict_lowers_accuracy_and_shifts_uncertainty():
+    rng_np = np.random.default_rng(0)
+    clean = DATASET_REGISTRY["HandWritten"]()
+    n = len(clean)
+    idx = rng_np.permutation(n)
+    tr, te = idx[:1600], idx[1600:]
+
+    conflicted = DATASET_REGISTRY["HandWritten"]()
+    conflicted.postprocessing(
+        te, addConflict=True, ratio_conflict=1.0, rng=np.random.default_rng(0)
+    )
+
+    views, y = clean.arrays()
+    xs_tr = tuple(jnp.asarray(v[tr]) for v in views)
+    xs_te = tuple(jnp.asarray(v[te]) for v in views)
+    views_c, _ = conflicted.arrays()
+    xs_te_c = tuple(jnp.asarray(v[te]) for v in views_c)
+    y_tr, y_te = jnp.asarray(y[tr]), jnp.asarray(y[te])
+    dims = [int(d[0]) for d in clean.dims]
+
+    task = build_late_fusion_task(
+        rng=jax.random.PRNGKey(0), output_dims=dims, num_classes=10,
+        hidden_dim=(128,), dropout=0.1, lr=3e-3, annealing_start=50,
+        aggregation="dbf", fused=1.0,
+    )
+    res = train(
+        rng=jax.random.PRNGKey(1), params=task.params, loss_fn=task.loss_fn,
+        data={"xs": xs_tr, "y": y_tr}, n_train=1600, optimizer=task.optimizer,
+        epochs=40, batch_size=100,
+        val_fn=task.val_fn, val_data={"xs": xs_te, "y": y_te},
+    )
+    info_clean = evaluate_subjective_model(task, res.params, {"xs": xs_te, "y": y_te})
+    info_conf = evaluate_subjective_model(task, res.params, {"xs": xs_te_c, "y": y_te})
+
+    # The model must actually have learned the task.
+    assert info_clean["fused"]["accuracy"] > 0.9
+    # Conflict corrupts one view per test row -> fused accuracy drops.
+    assert info_conf["fused"]["accuracy"] < info_clean["fused"]["accuracy"]
+    # Cross-class view conflict makes the Dirichlet LESS peaked around the
+    # true class -> aleatoric (expected-entropy) uncertainty rises. (Measured
+    # at 100 epochs: dbf 1.80->1.85, cml 1.22->1.39; epistemic K/S barely
+    # moves because the non-conflicted views keep producing evidence.)
+    assert info_conf["fused"]["aleatoric_mean"] > info_clean["fused"]["aleatoric_mean"]
+    # dbf discounts disagreeing evidence -> fused evidence mass shrinks.
+    assert info_conf["fused"]["evidence_mean"] < info_clean["fused"]["evidence_mean"]
