@@ -72,7 +72,10 @@ class TrainResult(NamedTuple):
     val_loss: jax.Array    # (E,) per-epoch val loss (nan if no val)
     val_acc: jax.Array     # (E,) per-epoch val accuracy (nan if no val)
     final_lr: jax.Array
-    model_state: Any = None  # e.g. BatchNorm batch_stats, threaded when given
+    model_state: Any = None   # e.g. BatchNorm batch_stats, threaded when given
+    opt_state: Any = None     # final optimizer state (for mid-training resume)
+    plateau_state: Any = None # final plateau LR state (for mid-training resume)
+    rng: Any = None           # final shuffle/noise key (for exact resume)
 
 
 def _make_tx(cfg: OptimizerConfig) -> optax.GradientTransformation:
@@ -141,8 +144,15 @@ def train(
     val_data: Any = None,
     donate: bool = True,
     model_state: Any = None,
+    start_epoch: int = 0,
+    resume: Any = None,
 ) -> TrainResult:
     """Run a full training job as one jitted scan.
+
+    Mid-training resume: pass ``start_epoch`` plus the previous segment's
+    ``resume=(result.opt_state, result.plateau_state)`` (and its params /
+    model_state); epoch-indexed schedules and annealing continue exactly
+    where the previous segment stopped.
 
     loss_fn(params, batch, mask, t, rng[, state]) -> (loss, aux). ``batch``
     is the pytree ``data`` gathered at the (B,) batch indices; ``mask`` is
@@ -162,15 +172,16 @@ def train(
         shuffle=shuffle,
         val_fn=val_fn,
         has_state=has_state,
+        start_epoch=start_epoch,
     )
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def run(params, rng, data, val_data, model_state):
-        return program(params, rng, data, val_data, model_state)
+    def run(params, rng, data, val_data, model_state, resume):
+        return program(params, rng, data, val_data, model_state, resume)
 
     # Fresh key buffer: donation would otherwise invalidate the caller's key.
     rng = jax.random.fold_in(rng, 0x5CA1AB1E)
-    return run(params, rng, data, val_data, model_state)
+    return run(params, rng, data, val_data, model_state, resume)
 
 
 def train_many(
@@ -225,6 +236,7 @@ def make_train_program(
     shuffle: bool,
     val_fn: Optional[Callable],
     has_state: bool,
+    start_epoch: int = 0,
 ):
     """Build the pure (params, rng, data, val_data, model_state) -> TrainResult
     program shared by train() and train_many()."""
@@ -237,13 +249,21 @@ def make_train_program(
             return plateau_lr
         return jnp.float32(optimizer.lr)
 
-    def program(params, rng, data, val_data, model_state):
-        opt_state = tx.init(params)
-        plateau_state = (
-            jnp.float32(optimizer.lr),
-            jnp.float32(jnp.inf),
-            jnp.int32(0),
-        )
+    def program(params, rng, data, val_data, model_state, resume=None):
+        # ``resume``: (opt_state, plateau_state, rng) from a previous
+        # segment — mid-training resume is NEW capability (the reference's
+        # checkpoints are terminal artifacts, SURVEY.md §5.4). Resuming with
+        # the returned rng continues the exact shuffle/noise key chain of an
+        # uninterrupted run.
+        if resume is not None:
+            opt_state, plateau_state, rng = resume
+        else:
+            opt_state = tx.init(params)
+            plateau_state = (
+                jnp.float32(optimizer.lr),
+                jnp.float32(jnp.inf),
+                jnp.int32(0),
+            )
 
         def step_fn(carry, batch_plan):
             params, opt_state, mstate, lr, epoch, gstep = carry
@@ -290,11 +310,15 @@ def make_train_program(
                 (train_loss, val_loss, val_acc),
             )
 
-        carry = (params, opt_state, model_state, rng, plateau_state, jnp.int32(0))
-        (params, _, mstate, _, plateau, _), (tl, vl, va) = jax.lax.scan(
-            epoch_fn, carry, jnp.arange(epochs)
+        gstep0 = jnp.int32(start_epoch * (n_train // batch_size if drop_last
+                                          else -(-n_train // batch_size)))
+        carry = (params, opt_state, model_state, rng, plateau_state, gstep0)
+        (params, opt_state, mstate, rng_out, plateau, _), (tl, vl, va) = jax.lax.scan(
+            epoch_fn, carry, jnp.arange(start_epoch, start_epoch + epochs)
         )
         return TrainResult(params=params, train_loss=tl, val_loss=vl, val_acc=va,
-                           final_lr=plateau[0], model_state=mstate)
+                           final_lr=plateau[0], model_state=mstate,
+                           opt_state=opt_state, plateau_state=plateau,
+                           rng=rng_out)
 
     return program
