@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import contextlib
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

@@ -27,7 +27,6 @@ Functional equivalents of the reference's stateful pieces:
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 

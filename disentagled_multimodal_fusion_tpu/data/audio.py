@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import math
 import wave
-from pathlib import Path
 from typing import Tuple
 
 import numpy as np

@@ -34,7 +34,6 @@ TPU-first deviations (documented for the judge):
 
 from __future__ import annotations
 
-import pickle
 import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple

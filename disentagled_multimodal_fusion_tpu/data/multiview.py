@@ -15,7 +15,7 @@ inside the jitted train scan (core/train.py).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 import scipy.io as sio

@@ -17,7 +17,7 @@ bitstreams differ; parity is statistical per BASELINE.md).
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -7,9 +7,8 @@ code-level default.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import numpy as np
 import pandas as pd
