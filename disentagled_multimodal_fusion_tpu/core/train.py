@@ -198,6 +198,7 @@ def train_many(
     val_fn: Optional[Callable] = None,
     val_data_stack: Any = None,
     model_state_stack: Any = None,
+    data_broadcast: bool = False,
 ) -> TrainResult:
     """Train S independent model instances as ONE vmapped XLA program.
 
@@ -207,6 +208,10 @@ def train_many(
     vmapped over it, so S trainings share each fused kernel with S x the
     arithmetic intensity. Returns a TrainResult whose leaves have the S
     leading axis.
+
+    ``data_broadcast=True`` shares ONE (unstacked) train/val dataset across
+    all instances (e.g. multi-seed training on a fixed corpus) instead of
+    materialising S copies.
     """
     program = make_train_program(
         loss_fn=loss_fn,
@@ -219,7 +224,10 @@ def train_many(
         val_fn=val_fn,
         has_state=model_state_stack is not None,
     )
-    run = jax.jit(jax.vmap(program))
+    data_ax = None if data_broadcast else 0
+    run = jax.jit(
+        jax.vmap(program, in_axes=(0, 0, data_ax, data_ax, 0))
+    )
     rngs = jax.vmap(lambda k: jax.random.fold_in(k, 0x5CA1AB1E))(rngs)
     return run(params_stack, rngs, data_stack, val_data_stack, model_state_stack)
 

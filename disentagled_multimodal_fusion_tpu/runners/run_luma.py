@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--replicate-image-bug", action="store_true")
     parser.add_argument("--dmvae-epochs", type=int, default=None)
     parser.add_argument("--probe-epochs", type=int, default=None)
+    parser.add_argument("--vmap-seeds", action="store_true",
+                        help="train all seeds as one vmapped program per "
+                             "model type (LUMA data is shared across seeds "
+                             "via data_broadcast)")
     args = parser.parse_args(argv)
 
     configure()
@@ -44,7 +48,7 @@ def main(argv=None):
         build_probe_task,
         embed_dataset,
     )
-    from ..core.train import train
+    from ..core.train import train, train_many
     from ..data.luma import get_luma_arrays
     from ..eval.analysis import (
         build_metrics_dataframe_datasets,
@@ -106,7 +110,118 @@ def main(argv=None):
 
     rows = {}
     t_start = time.time()
-    for seed in seeds:
+
+    if args.vmap_seeds and len(seeds) > 1:
+        # ---- all seeds as one vmapped program per model type; the LUMA
+        # corpus is shared across seeds via data_broadcast ----
+        t0 = time.time()
+        for s in seeds:
+            rows[s] = {"Normal": {"LUMA": {}}}
+        stack = lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+        seed_keys = [jax.random.PRNGKey(s) for s in seeds]
+        keyrows = [jax.random.split(k, 16) for k in seed_keys]
+
+        dm = [
+            build_dmvae_task(
+                rng=kr[0], xs_sample=xs_tr, output_dim=[enc_out] * 3,
+                dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
+                hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
+                lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
+                feature_encoders=encoders(),
+            )
+            for kr in keyrows
+        ]
+        model, _, loss_fn, opt, _ = dm[0]
+        params_stack = stack([t[1] for t in dm])
+        bstats_stack = stack([t[4] for t in dm]) if dm[0][4] is not None else None
+        res = train_many(
+            rngs=jnp.stack([kr[1] for kr in keyrows]), params_stack=params_stack,
+            loss_fn=loss_fn, data_stack={"xs": xs_tr}, n_train=n_train,
+            optimizer=opt, epochs=dmvae_epochs, batch_size=batch_size,
+            model_state_stack=bstats_stack, data_broadcast=True,
+        )
+        dmvae_params, dmvae_state = res.params, res.model_state
+        for i, s in enumerate(seeds):
+            save_checkpoint(
+                f"checkpoints/dmvae_datasetLUMA_seed{s}_a1e-05_normal",
+                jax.tree.map(lambda a: a[i], dmvae_params), {"dataset": "LUMA", "seed": s},
+            )
+        print(f"DMVAE x{len(seeds)} seeds trained ({time.time() - t0:.1f}s)", flush=True)
+
+        embed_v = jax.jit(jax.vmap(
+            lambda p, st, xs: embed_dataset(model, p, xs, st), in_axes=(0, 0, None)
+        ))
+        zc_tr, zp_tr = embed_v(dmvae_params, dmvae_state, xs_tr)
+        zc_te, zp_te = embed_v(dmvae_params, dmvae_state, xs_te)
+        probe_train = {"zc": zc_tr, "zp": zp_tr,
+                       "y": jnp.broadcast_to(y_tr, (len(seeds),) + y_tr.shape)}
+        probe_test = {"zc": zc_te, "zp": zp_te,
+                      "y": jnp.broadcast_to(y_te, (len(seeds),) + y_te.shape)}
+        lf_train = {"xs": xs_tr, "y": y_tr}
+        lf_test = {"xs": xs_te, "y": y_te}
+
+        def builders_for(j):
+            if j == 0:
+                return "dmvae_dis", lambda k: build_disentangled_probe_task(
+                    rng=k, num_modalities=3, num_classes=num_classes,
+                    input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=luma_lr,
+                    dropout=probe_dropout, annealing_start=annealing_start,
+                    num_epochs=probe_epochs), False
+            if j in (1, 2):
+                agg = ["cml", "joint"][j - 1]
+                return f"dmvae_{agg}", lambda k: build_probe_task(
+                    rng=k, num_modalities=3, num_classes=num_classes,
+                    input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=luma_lr,
+                    dropout=probe_dropout, annealing_start=annealing_start,
+                    aggregation=agg, fused=1.0, num_epochs=probe_epochs), False
+            agg = ["dbf", "cml", "avg"][j - 3]
+            return f"{agg}_fusion", lambda k: build_late_fusion_task(
+                rng=k, output_dims=[enc_out] * 3, num_classes=num_classes,
+                hidden_dim=probe_hidden, dropout=probe_dropout, lr=luma_lr,
+                annealing_start=annealing_start, aggregation=agg, fused=1.0,
+                feature_encoders=encoders(),
+                input_dims=[int(d[0]) for d in dims]), True
+
+        for j in range(6):
+            name, builder, is_lf = builders_for(j)
+            tasks = [builder(kr[2 + j]) for kr in keyrows]
+            task = tasks[0]
+            p_stack = stack([t.params for t in tasks])
+            ms_stack = (stack([t.model_state for t in tasks])
+                        if task.model_state is not None else None)
+            res_m = train_many(
+                rngs=jnp.stack([kr[10 + j] for kr in keyrows]),
+                params_stack=p_stack, loss_fn=task.loss_fn,
+                data_stack=lf_train if is_lf else probe_train,
+                n_train=n_train, optimizer=task.optimizer, epochs=probe_epochs,
+                batch_size=batch_size, val_fn=task.val_fn,
+                val_data_stack=lf_test if is_lf else probe_test,
+                model_state_stack=ms_stack, data_broadcast=is_lf,
+            )
+            for i, s in enumerate(seeds):
+                p_i = jax.tree.map(lambda a: a[i], res_m.params)
+                ms_i = (jax.tree.map(lambda a: a[i], res_m.model_state)
+                        if res_m.model_state is not None else None)
+                te_i = (lf_test if is_lf
+                        else jax.tree.map(lambda a: a[i], probe_test))
+                if name == "dmvae_dis":
+                    info = evaluate_subjective_model(task, p_i, te_i, ms_i)
+                else:
+                    info = evaluate_subjective_model_with_shared(task, p_i, te_i, ms_i)
+                info["path"] = save_checkpoint(
+                    f"checkpoints/{name}_fusion_dsLUMA_seed{s}", p_i,
+                    {"model": name, "dataset": "LUMA", "seed": s},
+                )
+                rows[s]["Normal"]["LUMA"][name] = info
+            accs = [rows[s]["Normal"]["LUMA"][name]["fused"]["accuracy"] for s in seeds]
+            import numpy as _np
+            print(f"{name} x{len(seeds)}: fused_acc {_np.mean(accs):.4f} "
+                  f"+/- {_np.std(accs):.4f}", flush=True)
+        seeds_to_loop = []
+    else:
+        seeds_to_loop = seeds
+
+    for seed in seeds_to_loop:
         t0 = time.time()
         rows[seed] = {"Normal": {"LUMA": {}}}
         out = rows[seed]["Normal"]["LUMA"]
