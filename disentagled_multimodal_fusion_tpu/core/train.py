@@ -145,6 +145,7 @@ def train(
     model_state: Any = None,
     start_epoch: int = 0,
     resume: Any = None,
+    mesh: Any = None,
 ) -> TrainResult:
     """Run a full training job as one jitted scan.
 
@@ -152,6 +153,11 @@ def train(
     ``resume=(result.opt_state, result.plateau_state)`` (and its params /
     model_state); epoch-indexed schedules and annealing continue exactly
     where the previous segment stopped.
+
+    Data parallelism: pass a ``jax.sharding.Mesh`` with a 'data' axis —
+    the dataset's row axis is sharded across it, params/opt state are
+    replicated, and jit's partitioner inserts the gradient all-reduce over
+    ICI (SURVEY.md §5.8's TPU-native scaling story).
 
     loss_fn(params, batch, mask, t, rng[, state]) -> (loss, aux). ``batch``
     is the pytree ``data`` gathered at the (B,) batch indices; ``mask`` is
@@ -177,6 +183,22 @@ def train(
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run(params, rng, data, val_data, model_state, resume):
         return program(params, rng, data, val_data, model_state, resume)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        data = jax.tree.map(lambda a: jax.device_put(a, row_sharding), data)
+        if val_data is not None:
+            val_data = jax.tree.map(
+                lambda a: jax.device_put(a, row_sharding), val_data
+            )
+        params = jax.tree.map(lambda a: jax.device_put(a, replicated), params)
+        if model_state is not None:
+            model_state = jax.tree.map(
+                lambda a: jax.device_put(a, replicated), model_state
+            )
 
     # Fresh key buffer: donation would otherwise invalidate the caller's key.
     rng = jax.random.fold_in(rng, 0x5CA1AB1E)

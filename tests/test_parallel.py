@@ -93,3 +93,39 @@ def test_sharded_dmvae_grads_match_replicated():
     g_sh = jax.jit(jax.grad(loss))(p_sh, xs_sh)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+@needs_8
+def test_train_with_data_parallel_mesh_matches_single_device():
+    """train(mesh=...) shards the dataset rows over 'data' and reproduces
+    the single-device run (jit inserts the grad all-reduce)."""
+    from disentagled_multimodal_fusion_tpu.core.train import OptimizerConfig, train
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((96, 8)).astype(np.float32)
+    w_true = rng.standard_normal((8, 1)).astype(np.float32)
+    y = x @ w_true
+    data = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+    params = {"w": jnp.zeros((8, 1))}
+
+    def loss_fn(params, batch, mask, t, key):
+        se = (batch["x"] @ params["w"] - batch["y"]) ** 2
+        m = mask[:, None]
+        return jnp.sum(se * m) / jnp.maximum(jnp.sum(m), 1.0), {}
+
+    kwargs = dict(
+        rng=jax.random.PRNGKey(0), loss_fn=loss_fn, data=data, n_train=96,
+        optimizer=OptimizerConfig(name="adam", lr=3e-2), epochs=60,
+        batch_size=16, donate=False,
+    )
+    res_single = train(params=params, **kwargs)
+    mesh = make_mesh(8, model_parallel=1)
+    res_mesh = train(params=params, mesh=mesh, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(res_mesh.params["w"]), np.asarray(res_single.params["w"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_mesh.train_loss), np.asarray(res_single.train_loss),
+        rtol=1e-4, atol=1e-6,
+    )
