@@ -50,7 +50,7 @@ def load_data():
     return [v[tr] for v in views], [int(d[0]) for d in ds.dims]
 
 
-def bench_jax(xs_np, dims) -> float:
+def bench_jax(xs_np, dims, fused_modalities: bool = True) -> float:
     from disentagled_multimodal_fusion_tpu.core.setup import configure
 
     configure()
@@ -66,6 +66,7 @@ def bench_jax(xs_np, dims) -> float:
     model, params0, loss_fn, opt, _bstats = build_dmvae_task(
         rng=key, xs_sample=xs, output_dim=dims, a=A, hidden_dim=HIDDEN,
         embed_dim=EMBED, lr=LR, num_epochs=EPOCHS_JAX,
+        fused_modalities=fused_modalities,
     )
 
     def run(params):
@@ -84,7 +85,7 @@ def bench_jax(xs_np, dims) -> float:
     res = run(params0)
     t_run = time.perf_counter() - t0
     _log(
-        f"jax: {EPOCHS_JAX} epochs in {t_run:.3f}s "
+        f"jax (fused={fused_modalities}): {EPOCHS_JAX} epochs in {t_run:.3f}s "
         f"(first call incl. compile {t_compile:.1f}s); "
         f"final loss {float(res.train_loss[-1]):.4f}"
     )

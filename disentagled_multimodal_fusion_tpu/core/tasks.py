@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..models.baselines import IntermediateFusion, LateFusion
 from ..models.disentangledssl import DisentangledSSL, disentangledssl_loss
 from ..models.dmvae import DMVAE
+from ..models.dmvae_fused import FusedDMVAE
 from ..models.probes import DisentangledEvidentialProbe, EvidentialProbe
 from ..ops.dirichlet import avg_trusted_loss, single_evidential_loss
 from ..ops.evidence import AGGREGATIONS
@@ -93,9 +94,15 @@ def build_dmvae_task(
     cross_weight: float = 1.0,
     lambda_per_modality: Optional[Sequence[float]] = None,
     feature_encoders: Optional[Tuple] = None,
+    fused_modalities: bool = False,
 ):
-    """DMVAE backbone + its train-loss closure (reference: run.py:135-146)."""
-    model = DMVAE(
+    """DMVAE backbone + its train-loss closure (reference: run.py:135-146).
+
+    ``fused_modalities=True`` selects FusedDMVAE (modality-stacked einsum
+    encoders/decoders — same math, ~N x fewer kernels; see
+    models/dmvae_fused.py)."""
+    cls = FusedDMVAE if fused_modalities else DMVAE
+    model = cls(
         x_dims=tuple(output_dim),
         hidden_dim=hidden_dim,
         embed_dim=embed_dim,
@@ -146,7 +153,7 @@ def embed_dataset(backbone_model: DMVAE, backbone_params, xs, backbone_state=Non
     variables = {"params": backbone_params}
     if backbone_state is not None:
         variables["batch_stats"] = backbone_state
-    zc, zp_list = backbone_model.apply(variables, xs, method=DMVAE.get_embedding)
+    zc, zp_list = backbone_model.apply(variables, xs, method="get_embedding")
     return zc, jnp.stack(zp_list, axis=1)
 
 
