@@ -29,7 +29,8 @@ from ..core.setup import configure
 
 
 def run_condition(
-    *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out
+    *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out,
+    fused_dmvae=True,
 ):
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -97,6 +98,7 @@ def run_condition(
         dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
         hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
         lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
+        fused_modalities=fused_dmvae,
     )
     res = train(
         rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
@@ -183,7 +185,8 @@ def run_condition(
 
 
 def run_condition_vmapped(
-    *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed
+    *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
+    fused_dmvae=True,
 ):
     """Seed-vectorised variant of run_condition: all seeds of one
     (dataset, condition) cell train as ONE vmapped program per model type
@@ -265,6 +268,7 @@ def run_condition_vmapped(
             output_dim=dims, dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
             hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
             lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
+            fused_modalities=fused_dmvae,
         )
         for k in seed_keys
     ]
@@ -366,6 +370,8 @@ def main(argv=None):
     parser.add_argument("--datasets", type=str, nargs="*", default=None)
     parser.add_argument("--conditions", type=str, nargs="*", default=["Normal", "Conflict"])
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--no-fused-dmvae", action="store_true",
+                        help="use the unfused per-modality DMVAE")
     parser.add_argument(
         "--vmap-seeds", action="store_true",
         help="train all seeds of each (dataset, condition) cell as one "
@@ -415,7 +421,7 @@ def main(argv=None):
                 run_condition_vmapped(
                     C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
                     quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
-                    rows_by_seed=rows_by_seed,
+                    rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
                 )
                 for s in seeds:
                     rows[s][cond_name][ds_name] = rows_by_seed[s]
@@ -430,6 +436,7 @@ def main(argv=None):
                         C=C, seed=seed, dataset_name=ds_name, conflict=False,
                         quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                         rows_out=rows[seed]["Normal"][ds_name],
+                        fused_dmvae=not args.no_fused_dmvae,
                     )
             if "Conflict" in args.conditions:
                 rows[seed]["Conflict"] = {}
@@ -439,6 +446,7 @@ def main(argv=None):
                         C=C, seed=seed, dataset_name=ds_name, conflict=True,
                         quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                         rows_out=rows[seed]["Conflict"][ds_name],
+                        fused_dmvae=not args.no_fused_dmvae,
                     )
 
     df = build_metrics_dataframe_datasets(rows)

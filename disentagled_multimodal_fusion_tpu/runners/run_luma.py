@@ -128,6 +128,7 @@ def main(argv=None):
                 hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
                 lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
                 feature_encoders=encoders(),
+                fused_modalities=not args.no_fused_dmvae,
             )
             for kr in keyrows
         ]
@@ -235,6 +236,7 @@ def main(argv=None):
             hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
             lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
             feature_encoders=encoders(),
+            fused_modalities=not args.no_fused_dmvae,
         )
         res = train(
             rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},

@@ -26,6 +26,8 @@ def main(argv=None):
     parser.add_argument("--deps", type=int, nargs="*", default=None)
     parser.add_argument("--quick", action="store_true",
                         help="tiny epoch counts for smoke testing")
+    parser.add_argument("--no-fused-dmvae", action="store_true",
+                        help="use the unfused per-modality DMVAE")
     parser.add_argument("--backbone", choices=["dmvae", "dssl"], default="dmvae",
                         help="disentangling backbone: DMVAE (reference "
                              "protocol) or DisentangledSSL (drop-in, "
@@ -118,6 +120,7 @@ def main(argv=None):
                     embed_dim=embed_dim,
                     lr=C("dmvae.lr", 1e-3),
                     num_epochs=dmvae_epochs,
+                    fused_modalities=not args.no_fused_dmvae,
                 )
             else:
                 model, params, loss_fn, opt = build_disentangledssl_task(
