@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument("--seeds", type=int, nargs="*", default=None)
     parser.add_argument("--data-path", type=str, default=None)
     parser.add_argument("--replicate-image-bug", action="store_true")
+    parser.add_argument("--use-ood", action="store_true",
+                        help="include the 8 OOD classes (reference knob "
+                             "dataset_luma.py:56,173; disabled there too)")
     parser.add_argument("--dmvae-epochs", type=int, default=None)
     parser.add_argument("--probe-epochs", type=int, default=None)
     parser.add_argument("--vmap-seeds", action="store_true",
@@ -90,7 +93,7 @@ def main(argv=None):
 
     xs_tr_np, y_tr_np, xs_te_np, y_te_np, num_classes, num_views, dims = get_luma_arrays(
         data_path, audio_cfg, text_cfg, image_cfg,
-        replicate_image_bug=args.replicate_image_bug,
+        replicate_image_bug=args.replicate_image_bug, use_ood=args.use_ood,
     )
     print(f"LUMA: {len(y_tr_np)} train / {len(y_te_np)} test, "
           f"{num_classes} classes, dims {[int(d[0]) for d in dims]}", flush=True)

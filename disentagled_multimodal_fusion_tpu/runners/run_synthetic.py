@@ -28,6 +28,8 @@ def main(argv=None):
                         help="tiny epoch counts for smoke testing")
     parser.add_argument("--no-fused-dmvae", action="store_true",
                         help="use the unfused per-modality DMVAE")
+    parser.add_argument("--preset", choices=["easy", "med", "hard"], default="med",
+                        help="synthetic difficulty preset (data.common_<preset>)")
     parser.add_argument("--backbone", choices=["dmvae", "dssl"], default="dmvae",
                         help="disentangling backbone: DMVAE (reference "
                              "protocol) or DisentangledSSL (drop-in, "
@@ -59,21 +61,24 @@ def main(argv=None):
 
     C = make_getter(load_config("synthetic_config.yaml"))
 
+    pre = f"data.common_{args.preset}"
+    # medium-preset fallbacks == the reference's effective code defaults
+    # (run_synthetic.py:26-41)
     common_med = dict(
-        n_samples=C("data.common_med.n_samples", 10000),
-        d_signal=C("data.common_med.d_signal", 16),
-        d_spurious=C("data.common_med.d_spurious", 16),
-        alpha_shared=C("data.common_med.alpha_shared", 0.7),
-        beta_specific=C("data.common_med.beta_specific", 0.6),
-        class_sep_shared=C("data.common_med.class_sep_shared", 1.1),
-        class_sep_private=C("data.common_med.class_sep_private", 0.9),
-        noise_std=C("data.common_med.noise_std", 0.7),
-        hetero_noise=C("data.common_med.hetero_noise", True),
-        hetero_scale=C("data.common_med.hetero_scale", 0.4),
-        nonlinear_shared=C("data.common_med.nonlinear_shared", True),
-        nonlinear_specific=C("data.common_med.nonlinear_specific", False),
-        conflict_frac=C("data.common_med.conflict_frac", 0.4),
-        conflict_strength=C("data.common_med.conflict_strength", 0.7),
+        n_samples=C(f"{pre}.n_samples", 10000),
+        d_signal=C(f"{pre}.d_signal", 16),
+        d_spurious=C(f"{pre}.d_spurious", 16),
+        alpha_shared=C(f"{pre}.alpha_shared", 0.7),
+        beta_specific=C(f"{pre}.beta_specific", 0.6),
+        class_sep_shared=C(f"{pre}.class_sep_shared", 1.1),
+        class_sep_private=C(f"{pre}.class_sep_private", 0.9),
+        noise_std=C(f"{pre}.noise_std", 0.7),
+        hetero_noise=C(f"{pre}.hetero_noise", True),
+        hetero_scale=C(f"{pre}.hetero_scale", 0.4),
+        nonlinear_shared=C(f"{pre}.nonlinear_shared", True),
+        nonlinear_specific=C(f"{pre}.nonlinear_specific", False),
+        conflict_frac=C(f"{pre}.conflict_frac", 0.4),
+        conflict_strength=C(f"{pre}.conflict_strength", 0.7),
     )
 
     seeds = args.seeds if args.seeds is not None else C("experiment.seeds", [0, 1, 2, 3, 4])
@@ -103,6 +108,9 @@ def main(argv=None):
             xs_va = tuple(jnp.asarray(x) for x in xs_va)
             y_tr_j, y_va_j = jnp.asarray(y_tr), jnp.asarray(y_va)
             n_train = xs_tr[0].shape[0]
+            # view widths follow the preset (d_signal + d_spurious), not the
+            # config's [32, 32] (which matches the medium preset only)
+            view_dims = [int(x.shape[1]) for x in xs_tr]
 
             key = jax.random.PRNGKey(seed)
             k_dmvae, k_probe, k_cml, k_avg, k_train = jax.random.split(key, 5)
@@ -114,7 +122,7 @@ def main(argv=None):
                 model, params, loss_fn, opt, bstats = build_dmvae_task(
                     rng=k_dmvae,
                     xs_sample=xs_tr,
-                    output_dim=C("dmvae.output_dim", [32, 32]),
+                    output_dim=view_dims,
                     a=C("dmvae.a", 1e-5),
                     hidden_dim=C("dmvae.hidden_dim", 512),
                     embed_dim=embed_dim,
@@ -125,7 +133,7 @@ def main(argv=None):
             else:
                 model, params, loss_fn, opt = build_disentangledssl_task(
                     rng=k_dmvae,
-                    output_dim=C("dmvae.output_dim", [32, 32]),
+                    output_dim=view_dims,
                     hidden_dim=C("dssl.hidden_dim", 512),
                     embed_dim=embed_dim,
                     a=C("dssl.a", 1.0),
@@ -188,7 +196,7 @@ def main(argv=None):
             for agg, k, label in [("cml", k_cml, "cml"), ("avg", k_avg, "avg")]:
                 lf = build_late_fusion_task(
                     rng=k,
-                    output_dims=C("latefusion.output_dims", [32, 32]),
+                    output_dims=view_dims,
                     num_classes=C("latefusion.num_classes", 3),
                     hidden_dim=tuple(C("latefusion.hidden_dim", (128,))),
                     dropout=C("latefusion.dropout", 0.1),
