@@ -26,11 +26,16 @@ from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models.baselines import IntermediateFusion, LateFusion
+from ..models.baselines import FusedLateFusion, IntermediateFusion, LateFusion
 from ..models.disentangledssl import DisentangledSSL, disentangledssl_loss
 from ..models.dmvae import DMVAE
 from ..models.dmvae_fused import FusedDMVAE
-from ..models.probes import DisentangledEvidentialProbe, EvidentialProbe
+from ..models.probes import (
+    DisentangledEvidentialProbe,
+    EvidentialProbe,
+    FusedDisentangledEvidentialProbe,
+    FusedEvidentialProbe,
+)
 from ..ops.dirichlet import avg_trusted_loss, single_evidential_loss
 from ..ops.evidence import AGGREGATIONS
 from .train import OptimizerConfig
@@ -172,14 +177,18 @@ def build_probe_task(
     fused: float = 1.0,
     num_epochs: int = 200,
     shared_input_dim: Optional[int] = None,
+    fused_heads: bool = True,
 ) -> EvidentialTask:
     """Shared+private evidential probe (evidential_probe.py:11-212).
 
     Data pytree: {'zc': (B, Ds), 'zp': (B, N, D), 'y': (B,)}. Set
     ``shared_input_dim`` when the backbone's Zc width differs from the
-    private width (DisentangledSSL: Zc = 2*embed).
+    private width (DisentangledSSL: Zc = 2*embed). ``fused_heads`` stacks
+    all heads into per-layer einsums (same math family; see
+    models/probes.py::FusedEvidentialProbe).
     """
-    model = EvidentialProbe(
+    cls = FusedEvidentialProbe if fused_heads else EvidentialProbe
+    model = cls(
         num_modalities=num_modalities,
         num_classes=num_classes,
         input_dim=input_dim,
@@ -243,11 +252,13 @@ def build_disentangled_probe_task(
     annealing_start: int = 20,
     aggregation: str = "cml",
     num_epochs: int = 200,
+    fused_heads: bool = True,
 ) -> EvidentialTask:
     """Private-only probe (evidential_probe.py:214-408)."""
     if aggregation not in ("cml", "avg"):
         raise ValueError("aggregation must be one of ['cml', 'avg']")
-    model = DisentangledEvidentialProbe(
+    cls = FusedDisentangledEvidentialProbe if fused_heads else DisentangledEvidentialProbe
+    model = cls(
         num_modalities=num_modalities,
         num_classes=num_classes,
         input_dim=input_dim,
@@ -308,6 +319,7 @@ def build_late_fusion_task(
     fused: float = 1.0,
     feature_encoders: Optional[Tuple] = None,
     input_dims: Optional[Sequence[int]] = None,
+    fused_heads: bool = True,
 ) -> EvidentialTask:
     """Per-view evidential heads on raw views (baselines.py:12-150).
 
@@ -315,9 +327,11 @@ def build_late_fusion_task(
     ``output_dims`` are the evidential-head input widths (the feature
     encoders' outputs); ``input_dims`` are the raw view widths used to
     initialise the feature encoders (defaults to output_dims — the
-    Identity-encoder case).
+    Identity-encoder case). ``fused_heads`` stacks the heads (see
+    models/baselines.py::FusedLateFusion).
     """
-    model = LateFusion(
+    cls = FusedLateFusion if fused_heads else LateFusion
+    model = cls(
         output_dims=tuple(output_dims),
         num_classes=num_classes,
         hidden_dim=tuple(hidden_dim),

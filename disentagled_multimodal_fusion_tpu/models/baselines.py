@@ -84,3 +84,38 @@ class IntermediateFusion(nn.Module):
         ]
         fused = jnp.concatenate([f.reshape(f.shape[0], -1) for f in feats], axis=1)
         return self.head(fused, train=train)
+
+
+class FusedLateFusion(nn.Module):
+    """LateFusion with per-view evidential heads stacked into einsums.
+
+    Feature encoders run per view (they may differ); their outputs are
+    zero-padded to a common width and the N heads run as one StackedMLP —
+    the baseline-side analogue of FusedDMVAE (see models/dmvae_fused.py).
+    """
+
+    output_dims: Sequence[int]
+    num_classes: int = 42
+    hidden_dim: Sequence[int] = (32,)
+    dropout: float = 0.3
+    feature_encoders: Optional[Tuple[nn.Module, ...]] = None
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from ..ops.evidence import evidence_activation
+        from .dmvae_fused import StackedMLP
+
+        n = len(self.output_dims)
+        encs = self.feature_encoders or tuple(IdentityEncoder() for _ in range(n))
+        feats = [
+            encs[i](xs[i].astype(jnp.float32), train=train) for i in range(n)
+        ]
+        pad = max(f.shape[-1] for f in feats)
+        x = jnp.stack(
+            [jnp.pad(f, ((0, 0), (0, pad - f.shape[-1]))) for f in feats], axis=1
+        )
+        h = StackedMLP(
+            in_dims=tuple(self.output_dims), hidden=tuple(self.hidden_dim),
+            out_dims=(self.num_classes,) * n, dropout=self.dropout,
+        )(x, train=train)
+        return evidence_activation(h.astype(jnp.float32))

@@ -70,14 +70,16 @@ def _stacked_bias_init(in_dims):
 
 
 class StackedMLP(nn.Module):
-    """N parallel (in -> hidden -> hidden -> out_i) MLPs as 3 einsums.
+    """N parallel (in -> hidden* -> out_i) MLPs as one einsum per layer.
 
     Inputs (B..., N, pad_in); outputs (B..., N, pad_out) where per-modality
     valid widths are out_dims (the rest is garbage to be masked by caller).
+    ``hidden`` may be an int (two hidden layers, DMVAE-style) or a sequence
+    of hidden widths (one ReLU+dropout layer each).
     """
 
     in_dims: Sequence[int]      # true per-modality input widths
-    hidden: int
+    hidden: Any                 # int (-> [h, h]) or Sequence[int]
     out_dims: Sequence[int]     # true per-modality output widths
     dropout: float = 0.0
     initialization: str = "xavier"
@@ -87,30 +89,36 @@ class StackedMLP(nn.Module):
         n = len(self.in_dims)
         pad_in = x.shape[-1]
         pad_out = max(self.out_dims)
-        h = self.hidden
+        hiddens = (
+            [self.hidden, self.hidden] if isinstance(self.hidden, int)
+            else list(self.hidden)
+        )
 
-        w1 = self.param("w1", _stacked_dense_init(self.initialization, self.in_dims, pad_in, h),
-                        (n, pad_in, h), jnp.float32)
-        b1 = self.param("b1", _stacked_bias_init(self.in_dims), (n, h), jnp.float32)
-        w2 = self.param("w2", _stacked_dense_init(self.initialization, [h] * n, h, h),
-                        (n, h, h), jnp.float32)
-        b2 = self.param("b2", _stacked_bias_init([h] * n), (n, h), jnp.float32)
-        w3 = self.param("w3", _stacked_dense_init(self.initialization, [h] * n, h, pad_out),
-                        (n, h, pad_out), jnp.float32)
-        b3 = self.param("b3", _stacked_bias_init([h] * n), (n, pad_out), jnp.float32)
-        # NOTE: w3/b3 slices are drawn at width pad_out (vs out_dims[i] in
+        y = x
+        in_dims, d_in = list(self.in_dims), pad_in
+        for li, h in enumerate(hiddens):
+            w = self.param(
+                f"w{li + 1}",
+                _stacked_dense_init(self.initialization, in_dims, d_in, h),
+                (n, d_in, h), jnp.float32,
+            )
+            b = self.param(f"b{li + 1}", _stacked_bias_init(in_dims), (n, h), jnp.float32)
+            y = jnp.einsum("...nd,ndh->...nh", y, w) + b
+            y = nn.relu(y)
+            if self.dropout > 0:
+                y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            in_dims, d_in = [h] * n, h
+        lo = len(hiddens) + 1
+        w = self.param(
+            f"w{lo}",
+            _stacked_dense_init(self.initialization, in_dims, d_in, pad_out),
+            (n, d_in, pad_out), jnp.float32,
+        )
+        b = self.param(f"b{lo}", _stacked_bias_init(in_dims), (n, pad_out), jnp.float32)
+        # NOTE: output slices are drawn at width pad_out (vs out_dims[i] in
         # the unfused model) — same family, marginally different xavier
         # bound; parity is statistical (BASELINE.md).
-
-        y = jnp.einsum("...nd,ndh->...nh", x, w1) + b1
-        y = nn.relu(y)
-        if self.dropout > 0:
-            y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = jnp.einsum("...nh,nhk->...nk", y, w2) + b2
-        y = nn.relu(y)
-        if self.dropout > 0:
-            y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return jnp.einsum("...nh,nho->...no", y, w3) + b3
+        return jnp.einsum("...nh,nho->...no", y, w) + b
 
 
 class FusedDMVAE(nn.Module):

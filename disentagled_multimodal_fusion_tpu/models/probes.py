@@ -88,3 +88,63 @@ class DisentangledEvidentialProbe(nn.Module):
         """zp_list: list of N (B, D). Returns (B, N, C)."""
         evid = [self.spec_heads[i](zp_list[i], train=train) for i in range(self.num_modalities)]
         return jnp.stack(evid, axis=1)
+
+
+class FusedEvidentialProbe(nn.Module):
+    """EvidentialProbe with the 1+N heads stacked into per-layer einsums.
+
+    Same math family as :class:`EvidentialProbe` (per-slice init parity via
+    dmvae_fused.StackedMLP); one kernel per layer for all heads instead of
+    (1+N) separate Dense stacks — the probe fit is dispatch-bound at
+    reference batch sizes, so this is the probe-side analogue of FusedDMVAE.
+    """
+
+    num_modalities: int
+    num_classes: int
+    input_dim: int
+    hidden_dim: Sequence[int] = (32,)
+    dropout: float = 0.3
+    shared_input_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, zc, zp_list, train: bool = False):
+        from ..ops.evidence import evidence_activation
+        from .dmvae_fused import StackedMLP
+
+        ds = self.shared_input_dim or self.input_dim
+        in_dims = (ds,) + (self.input_dim,) * self.num_modalities
+        pad = max(in_dims)
+        rows = [jnp.pad(zc, ((0, 0), (0, pad - zc.shape[-1])))]
+        rows += [
+            jnp.pad(z, ((0, 0), (0, pad - z.shape[-1]))) for z in zp_list
+        ]
+        x = jnp.stack(rows, axis=1)                       # (B, V, pad)
+        h = StackedMLP(
+            in_dims=in_dims, hidden=tuple(self.hidden_dim),
+            out_dims=(self.num_classes,) * len(in_dims), dropout=self.dropout,
+        )(x, train=train)
+        return evidence_activation(h.astype(jnp.float32))
+
+
+class FusedDisentangledEvidentialProbe(nn.Module):
+    """Private-only variant of :class:`FusedEvidentialProbe`."""
+
+    num_modalities: int
+    num_classes: int
+    input_dim: int
+    hidden_dim: Sequence[int] = (32,)
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, zp_list, train: bool = False):
+        from ..ops.evidence import evidence_activation
+        from .dmvae_fused import StackedMLP
+
+        x = jnp.stack(list(zp_list), axis=1)              # (B, N, D)
+        h = StackedMLP(
+            in_dims=(self.input_dim,) * self.num_modalities,
+            hidden=tuple(self.hidden_dim),
+            out_dims=(self.num_classes,) * self.num_modalities,
+            dropout=self.dropout,
+        )(x, train=train)
+        return evidence_activation(h.astype(jnp.float32))
