@@ -62,6 +62,11 @@ def param_sharding_rule(hidden_dim: int):
                 return P(None, "model")
             if x.shape[0] == hidden_dim:
                 return P("model", None)
+        if x.ndim == 3:  # stacked (N, in, out) kernels (models/dmvae_fused.py)
+            if x.shape[2] == hidden_dim:
+                return P(None, None, "model")
+            if x.shape[1] == hidden_dim:
+                return P(None, "model", None)
         if x.ndim == 1 and x.shape[0] == hidden_dim:
             return P("model")
         return P()
