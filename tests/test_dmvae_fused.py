@@ -102,3 +102,42 @@ def test_fused_masked_rows_invariant():
     l2, _ = fused.apply({"params": params}, xs_mut, train=True, mask=mask,
                         rngs={"noise": KEY, "dropout": KEY})
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_fused_probe_heads_match_unfused():
+    from disentagled_multimodal_fusion_tpu.models.probes import (
+        EvidentialProbe,
+        FusedEvidentialProbe,
+    )
+
+    n, c, d_in, hid = 3, 5, 8, 16
+    unfused = EvidentialProbe(
+        num_modalities=n, num_classes=c, input_dim=d_in, hidden_dim=(hid,), dropout=0.0
+    )
+    fused = FusedEvidentialProbe(
+        num_modalities=n, num_classes=c, input_dim=d_in, hidden_dim=(hid,), dropout=0.0
+    )
+    zc = jax.random.normal(jax.random.PRNGKey(1), (6, d_in))
+    zp = [jax.random.normal(jax.random.PRNGKey(2 + i), (6, d_in)) for i in range(n)]
+    up = unfused.init({"params": KEY, "dropout": KEY}, zc, zp)["params"]
+
+    # map head weights into the stacked layout: row 0 = shared, rows 1.. = specs
+    v = n + 1
+    w1 = np.zeros((v, d_in, hid), np.float32)
+    b1 = np.zeros((v, hid), np.float32)
+    w2 = np.zeros((v, hid, c), np.float32)
+    b2 = np.zeros((v, c), np.float32)
+    heads = [up["x_shared"]] + [up[f"x_specs_{i}"] for i in range(n)]
+    for i, h in enumerate(heads):
+        mlp = h["MLP_0"]
+        w1[i] = np.asarray(mlp["TorchLinear_0"]["Dense_0"]["kernel"])
+        b1[i] = np.asarray(mlp["TorchLinear_0"]["Dense_0"]["bias"])
+        w2[i] = np.asarray(mlp["TorchLinear_1"]["Dense_0"]["kernel"])
+        b2[i] = np.asarray(mlp["TorchLinear_1"]["Dense_0"]["bias"])
+    fp = {"StackedMLP_0": {
+        "w1": jnp.asarray(w1), "b1": jnp.asarray(b1),
+        "w2": jnp.asarray(w2), "b2": jnp.asarray(b2),
+    }}
+    ev_u = unfused.apply({"params": up}, zc, zp)
+    ev_f = fused.apply({"params": fp}, zc, zp)
+    np.testing.assert_allclose(np.asarray(ev_f), np.asarray(ev_u), rtol=1e-5, atol=1e-6)
