@@ -28,6 +28,9 @@ def main(argv=None):
                         help="tiny epoch counts for smoke testing")
     parser.add_argument("--no-fused-dmvae", action="store_true",
                         help="use the unfused per-modality DMVAE")
+    parser.add_argument("--vmap-seeds", action="store_true",
+                        help="train all seeds of each dep cell as one "
+                             "vmapped program per model type")
     parser.add_argument("--preset", choices=["easy", "med", "hard"], default="med",
                         help="synthetic difficulty preset (data.common_<preset>)")
     parser.add_argument("--backbone", choices=["dmvae", "dssl"], default="dmvae",
@@ -94,7 +97,118 @@ def main(argv=None):
     rows = {}
     t_start = time.time()
 
-    for seed in seeds:
+    if args.vmap_seeds and len(seeds) > 1 and args.backbone == "dmvae":
+        from ..core.train import train_many
+        from numpy import stack as np_stack
+        import numpy as np
+
+        stackp = lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+        for seed in seeds:
+            rows[seed] = {}
+        for dep in deps:
+            t0 = time.time()
+            rho = dep / 100.0
+            cells = [
+                make_simple_plus_splits(
+                    batch_size=batch_size, seed=s, rho=rho,
+                    shared_class_frac=rho, **common_med,
+                )
+                for s in seeds
+            ]
+            xs_tr = tuple(
+                jnp.asarray(np_stack([c[1][0][v] for c in cells]))
+                for v in range(2)
+            )
+            xs_va = tuple(
+                jnp.asarray(np_stack([c[2][0][v] for c in cells]))
+                for v in range(2)
+            )
+            y_tr = jnp.asarray(np_stack([c[1][1] for c in cells]))
+            y_va = jnp.asarray(np_stack([c[2][1] for c in cells]))
+            n_train = xs_tr[0].shape[1]
+            view_dims = [int(x.shape[2]) for x in xs_tr]
+            embed_dim = C("dmvae.embed_dim", 16)
+            seed_keys = [jax.random.PRNGKey(s) for s in seeds]
+
+            dm = [
+                build_dmvae_task(
+                    rng=jax.random.fold_in(k, 0),
+                    xs_sample=[x[0] for x in xs_tr], output_dim=view_dims,
+                    a=C("dmvae.a", 1e-5), hidden_dim=C("dmvae.hidden_dim", 512),
+                    embed_dim=embed_dim, lr=C("dmvae.lr", 1e-3),
+                    num_epochs=dmvae_epochs,
+                    fused_modalities=not args.no_fused_dmvae,
+                )
+                for k in seed_keys
+            ]
+            model, _, loss_fn, opt, _ = dm[0]
+            res = train_many(
+                rngs=jnp.stack([jax.random.fold_in(k, 1) for k in seed_keys]),
+                params_stack=stackp([t[1] for t in dm]), loss_fn=loss_fn,
+                data_stack={"xs": xs_tr}, n_train=n_train, optimizer=opt,
+                epochs=dmvae_epochs, batch_size=batch_size, drop_last=True,
+            )
+            embed_v = jax.jit(jax.vmap(lambda p, xs: embed_dataset(model, p, xs)))
+            zc_tr, zp_tr = embed_v(res.params, xs_tr)
+            zc_va, zp_va = embed_v(res.params, xs_va)
+            probe_train = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
+            probe_val = {"zc": zc_va, "zp": zp_va, "y": y_va}
+
+            jobs = [(
+                "dmvae_cml", True,
+                lambda k: build_probe_task(
+                    rng=k, num_modalities=2,
+                    num_classes=C("dmvae_fusion.num_classes", 3),
+                    input_dim=C("dmvae_fusion.input_dim", 16),
+                    hidden_dim=tuple(C("dmvae_fusion.hidden_dim", (128,))),
+                    lr=C("dmvae_fusion.lr", 3e-4),
+                    dropout=C("dmvae_fusion.dropout", 0.1),
+                    annealing_start=C("dmvae_fusion.annealing_start", 10),
+                    aggregation=C("dmvae_fusion.aggregation", "cml"),
+                    fused=0.0, num_epochs=fusion_epochs,
+                ), fusion_epochs, probe_train, probe_val,
+            )]
+            for agg in ["cml", "avg"]:
+                jobs.append((
+                    agg, False,
+                    (lambda agg: lambda k: build_late_fusion_task(
+                        rng=k, output_dims=view_dims,
+                        num_classes=C("latefusion.num_classes", 3),
+                        hidden_dim=tuple(C("latefusion.hidden_dim", (128,))),
+                        dropout=C("latefusion.dropout", 0.1),
+                        lr=C("latefusion.lr", 3e-4),
+                        annealing_start=C("latefusion.annealing_start", 10),
+                        aggregation=agg, fused=0.0,
+                    ))(agg), late_epochs,
+                    {"xs": xs_tr, "y": y_tr}, {"xs": xs_va, "y": y_va},
+                ))
+            for j, (label, with_shared, builder, n_ep, tr_d, va_d) in enumerate(jobs):
+                tasks = [builder(jax.random.fold_in(k, 10 + j)) for k in seed_keys]
+                task = tasks[0]
+                res_m = train_many(
+                    rngs=jnp.stack([jax.random.fold_in(k, 100 + j) for k in seed_keys]),
+                    params_stack=stackp([t.params for t in tasks]),
+                    loss_fn=task.loss_fn, data_stack=tr_d, n_train=n_train,
+                    optimizer=task.optimizer, epochs=n_ep, batch_size=batch_size,
+                    drop_last=True, val_fn=task.val_fn, val_data_stack=va_d,
+                )
+                for i, s in enumerate(seeds):
+                    p_i = jax.tree.map(lambda a: a[i], res_m.params)
+                    va_i = jax.tree.map(lambda a: a[i], va_d)
+                    if with_shared:
+                        info = evaluate_subjective_model_with_shared(task, p_i, va_i)
+                    else:
+                        info = evaluate_subjective_model(task, p_i, va_i)
+                    rows[s].setdefault(dep, {})[label] = info
+            accs = [rows[s][dep]["dmvae_cml"]["fused"]["accuracy"] for s in seeds]
+            print(f"[dep {dep}] x{len(seeds)} seeds: dmvae_cml fused acc "
+                  f"{np.mean(accs):.3f} +/- {np.std(accs):.3f} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+        seeds_to_loop = []
+    else:
+        seeds_to_loop = seeds
+
+    for seed in seeds_to_loop:
         rows[seed] = {}
         for dep in deps:
             t0 = time.time()
