@@ -67,3 +67,48 @@ def test_conflict_lowers_accuracy_and_shifts_uncertainty():
     assert info_conf["fused"]["aleatoric_mean"] > info_clean["fused"]["aleatoric_mean"]
     # dbf discounts disagreeing evidence -> fused evidence mass shrinks.
     assert info_conf["fused"]["evidence_mean"] < info_clean["fused"]["evidence_mean"]
+
+
+def test_ood_auroc_on_synthetic():
+    """A trained evidential model must rank pure-noise inputs as more
+    uncertain than in-distribution test rows (AUROC > 0.5)."""
+    from disentagled_multimodal_fusion_tpu.data.synthetic import make_simple_plus_splits
+    from disentagled_multimodal_fusion_tpu.eval.ood import auroc, evaluate_ood
+
+    # sanity of the AUROC estimator itself
+    assert auroc(np.array([2.0, 3.0]), np.array([0.0, 1.0])) == 1.0
+    assert abs(auroc(np.array([1.0, 1.0]), np.array([1.0, 1.0])) - 0.5) < 1e-9
+
+    ds, (xs_tr, y_tr), (xs_va, y_va) = make_simple_plus_splits(
+        n_samples=800, rho=0.5, shared_class_frac=0.5, seed=0,
+        class_sep_shared=1.5, class_sep_private=1.3, noise_std=0.3,
+        hetero_noise=False, nonlinear_shared=False, d_spurious=4,
+    )
+    xs_tr = tuple(jnp.asarray(x) for x in xs_tr)
+    xs_va = tuple(jnp.asarray(x) for x in xs_va)
+    task = build_late_fusion_task(
+        rng=jax.random.PRNGKey(0), output_dims=[20, 20], num_classes=3,
+        hidden_dim=(64,), dropout=0.1, lr=3e-3, annealing_start=10,
+        aggregation="cml", fused=1.0,
+    )
+    res = train(
+        rng=jax.random.PRNGKey(1), params=task.params, loss_fn=task.loss_fn,
+        data={"xs": xs_tr, "y": jnp.asarray(y_tr)}, n_train=xs_tr[0].shape[0],
+        optimizer=task.optimizer, epochs=30, batch_size=128, drop_last=True,
+        val_fn=task.val_fn, val_data={"xs": xs_va, "y": jnp.asarray(y_va)},
+    )
+    ev_id = task.aggregation(task.evidences_fn(res.params, {"xs": xs_va}))
+    # Marginal-preserving OOD: permute each feature column independently —
+    # destroys the class structure while keeping per-feature statistics.
+    # (Far-OOD with runaway magnitudes saturates the exp-evidence head into
+    # HIGH evidence — a known EDL property, reproduced here too.)
+    rng = np.random.default_rng(3)
+    xs_ood = tuple(
+        jnp.asarray(
+            np.stack([rng.permutation(col) for col in np.asarray(x).T]).T.copy()
+        )
+        for x in xs_va
+    )
+    ev_ood = task.aggregation(task.evidences_fn(res.params, {"xs": xs_ood}))
+    metrics = evaluate_ood(ev_id, ev_ood, 3)
+    assert metrics["auroc_epistemic"] > 0.6, metrics
