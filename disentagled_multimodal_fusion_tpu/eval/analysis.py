@@ -22,9 +22,30 @@ import pandas as pd
 from ..ops.dirichlet import dirichlet_uncertainties
 
 
+def expected_calibration_error(
+    probs: jax.Array, target: jax.Array, n_bins: int = 15
+) -> jax.Array:
+    """Standard top-label ECE with equal-width confidence bins.
+
+    NEW vs the reference (which never computes ECE despite the north-star
+    asking for ECE parity); probabilities for evidential models are the
+    Dirichlet means alpha / S.
+    """
+    conf = jnp.max(probs, axis=-1)
+    correct = (jnp.argmax(probs, axis=-1) == target).astype(jnp.float32)
+    edges = jnp.linspace(0.0, 1.0, n_bins + 1)
+    # bin index: right-closed bins like torchmetrics/netcal
+    idx = jnp.clip(jnp.searchsorted(edges, conf, side="left") - 1, 0, n_bins - 1)
+    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
+    acc_b = jnp.sum(onehot * correct[:, None], axis=0) / jnp.maximum(counts, 1.0)
+    conf_b = jnp.sum(onehot * conf[:, None], axis=0) / jnp.maximum(counts, 1.0)
+    return jnp.sum(counts / probs.shape[0] * jnp.abs(acc_b - conf_b))
+
+
 @partial(jax.jit, static_argnames=("num_classes",))
 def _block_metrics(ev: jax.Array, target: jax.Array, num_classes: int):
-    """Metrics for one evidence block (B, C) (analysis.py:88-152)."""
+    """Metrics for one evidence block (B, C) (analysis.py:88-152) + ECE."""
     n = ev.shape[0]
     ev_scalar = jnp.sum(ev, axis=-1)
     epi, ale = dirichlet_uncertainties(ev, num_classes)
@@ -33,8 +54,11 @@ def _block_metrics(ev: jax.Array, target: jax.Array, num_classes: int):
     incorrect = 1.0 - correct
     inc_n = jnp.sum(incorrect)
     safe_inc = jnp.maximum(inc_n, 1.0)
+    alphas = ev.astype(jnp.float32) + 1.0
+    probs = alphas / jnp.sum(alphas, axis=-1, keepdims=True)
     return {
         "accuracy": jnp.mean(correct),
+        "ece": expected_calibration_error(probs, target),
         "evidence_mean": jnp.mean(ev_scalar),
         "epistemic_mean": jnp.mean(epi),
         "aleatoric_mean": jnp.mean(ale),
@@ -157,7 +181,7 @@ def evaluate_subjective_model_with_shared(task, params, data, model_state=None):
 def _add_block(row: dict, prefix: str, block) -> None:
     if not isinstance(block, dict):
         return
-    for k in ["accuracy", "evidence_mean", "epistemic_mean", "aleatoric_mean"]:
+    for k in ["accuracy", "ece", "evidence_mean", "epistemic_mean", "aleatoric_mean"]:
         if k in block:
             row[f"{prefix}{k}"] = float(block[k])
     inc = block.get("incorrect_only", {})

@@ -28,6 +28,21 @@ def _streaming_reference(evidences, fused, target, K, has_shared, batch=7):
         ale = -torch.sum(p * (torch.digamma(a + 1) - torch.digamma(s + 1)), -1)
         return epi.numpy(), ale.numpy()
 
+    def ece_np(ev):
+        alphas = ev + 1.0
+        probs = alphas / alphas.sum(-1, keepdims=True)
+        conf = probs.max(-1)
+        correct = (probs.argmax(-1) == target).astype(np.float64)
+        n_bins = 15
+        edges = np.linspace(0, 1, n_bins + 1)
+        idx = np.clip(np.searchsorted(edges, conf, side="left") - 1, 0, n_bins - 1)
+        ece = 0.0
+        for b in range(n_bins):
+            m = idx == b
+            if m.any():
+                ece += m.mean() * abs(correct[m].mean() - conf[m].mean())
+        return ece
+
     def block(ev):
         epi, ale = dirichlet(ev)
         preds = ev.argmax(-1)
@@ -35,6 +50,7 @@ def _streaming_reference(evidences, fused, target, K, has_shared, batch=7):
         inc = ~correct
         out = {
             "accuracy": correct.mean(),
+            "ece": ece_np(ev),
             "evidence_mean": ev.sum(-1).mean(),
             "epistemic_mean": epi.mean(),
             "aleatoric_mean": ale.mean(),
