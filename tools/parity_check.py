@@ -120,7 +120,14 @@ def torch_heads_fit(
                 alphas / s * (torch.digamma(alphas + 1) - torch.digamma(s + 1)), -1
             ).mean().item()
         )
-    return {"accuracy": acc, "epistemic_mean": epi, "aleatoric_mean": ale}
+        from disentagled_multimodal_fusion_tpu.eval.analysis import (
+            expected_calibration_error,
+        )
+        import jax.numpy as jnp
+
+        probs = (alphas / s).numpy()
+        ece = float(expected_calibration_error(jnp.asarray(probs), jnp.asarray(y_te)))
+    return {"accuracy": acc, "ece": ece, "epistemic_mean": epi, "aleatoric_mean": ale}
 
 
 def main():
@@ -192,6 +199,7 @@ def main():
         out["late_fusion_cml"]["torch"].append(ref)
         out["late_fusion_cml"]["ours"].append({
             "accuracy": ours["fused"]["accuracy"],
+            "ece": ours["fused"]["ece"],
             "epistemic_mean": ours["fused"]["epistemic_mean"],
             "aleatoric_mean": ours["fused"]["aleatoric_mean"],
         })
@@ -239,6 +247,7 @@ def main():
         out["dmvae_probe_cml"]["torch"].append(ref)
         out["dmvae_probe_cml"]["ours"].append({
             "accuracy": ours["fused"]["accuracy"],
+            "ece": ours["fused"]["ece"],
             "epistemic_mean": ours["fused"]["epistemic_mean"],
             "aleatoric_mean": ours["fused"]["aleatoric_mean"],
         })
@@ -250,12 +259,15 @@ def main():
         summary[k] = {
             side: {
                 m: float(np.mean([r[m] for r in runs]))
-                for m in ["accuracy", "epistemic_mean", "aleatoric_mean"]
+                for m in ["accuracy", "ece", "epistemic_mean", "aleatoric_mean"]
             }
             for side, runs in d.items()
         }
         summary[k]["accuracy_gap"] = abs(
             summary[k]["torch"]["accuracy"] - summary[k]["ours"]["accuracy"]
+        )
+        summary[k]["ece_gap"] = abs(
+            summary[k]["torch"]["ece"] - summary[k]["ours"]["ece"]
         )
     print(json.dumps(summary, indent=1))
     Path("results").mkdir(exist_ok=True)
