@@ -36,6 +36,8 @@ def main(argv=None):
                         help="train all seeds as one vmapped program per "
                              "model type (LUMA data is shared across seeds "
                              "via data_broadcast)")
+    parser.add_argument("--no-fused-dmvae", action="store_true",
+                        help="use the unfused per-modality DMVAE")
     args = parser.parse_args(argv)
 
     configure()
