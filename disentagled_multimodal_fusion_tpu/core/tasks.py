@@ -153,13 +153,30 @@ def build_dmvae_task(
 def embed_dataset(backbone_model: DMVAE, backbone_params, xs, backbone_state=None):
     """Frozen-backbone embeddings, computed once (see probes.py docstring).
 
-    Returns (zc (B, D), zp (B, N, D)).
+    Returns (zc (B, D), zp (B, N, D)). For corpora whose feature encoders
+    materialise large activations (LUMA's image CNN), use
+    :func:`embed_dataset_chunked` — a whole-corpus single call allocates
+    O(rows x conv-activation) HBM.
     """
     variables = {"params": backbone_params}
     if backbone_state is not None:
         variables["batch_stats"] = backbone_state
     zc, zp_list = backbone_model.apply(variables, xs, method="get_embedding")
     return zc, jnp.stack(zp_list, axis=1)
+
+
+def embed_dataset_chunked(
+    backbone_model, backbone_params, xs, backbone_state=None, chunk: int = 4096
+):
+    """Row-chunked embed_dataset for activation-heavy feature encoders."""
+    n = xs[0].shape[0]
+    zcs, zps = [], []
+    for s0 in range(0, n, chunk):
+        part = tuple(x[s0 : s0 + chunk] for x in xs)
+        zc, zp = embed_dataset(backbone_model, backbone_params, part, backbone_state)
+        zcs.append(zc)
+        zps.append(zp)
+    return jnp.concatenate(zcs, axis=0), jnp.concatenate(zps, axis=0)
 
 
 # ------------------------------------------------------------------ probes

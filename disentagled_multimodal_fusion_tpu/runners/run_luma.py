@@ -51,7 +51,7 @@ def main(argv=None):
         build_dmvae_task,
         build_late_fusion_task,
         build_probe_task,
-        embed_dataset,
+        embed_dataset_chunked,
     )
     from ..core.train import train, train_many
     from ..data.luma import get_luma_arrays
@@ -154,11 +154,23 @@ def main(argv=None):
             )
         print(f"DMVAE x{len(seeds)} seeds trained ({time.time() - t0:.1f}s)", flush=True)
 
-        embed_v = jax.jit(jax.vmap(
-            lambda p, st, xs: embed_dataset(model, p, xs, st), in_axes=(0, 0, None)
-        ))
-        zc_tr, zp_tr = embed_v(dmvae_params, dmvae_state, xs_tr)
-        zc_te, zp_te = embed_v(dmvae_params, dmvae_state, xs_te)
+        # per-seed, row-chunked embedding: the image CNN's activations for
+        # the whole corpus x 5 seeds would exceed HBM in one call
+        def embed_all(xs):
+            outs = [
+                embed_dataset_chunked(
+                    model,
+                    jax.tree.map(lambda a: a[i], dmvae_params),
+                    xs,
+                    jax.tree.map(lambda a: a[i], dmvae_state)
+                    if dmvae_state is not None else None,
+                )
+                for i in range(len(seeds))
+            ]
+            return (jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]))
+
+        zc_tr, zp_tr = embed_all(xs_tr)
+        zc_te, zp_te = embed_all(xs_te)
         probe_train = {"zc": zc_tr, "zp": zp_tr,
                        "y": jnp.broadcast_to(y_tr, (len(seeds),) + y_tr.shape)}
         probe_test = {"zc": zc_te, "zp": zp_te,
@@ -256,8 +268,8 @@ def main(argv=None):
         )
         print(f"[seed {seed}] DMVAE trained ({time.time() - t0:.1f}s)", flush=True)
 
-        zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr, dmvae_state)
-        zc_te, zp_te = embed_dataset(model, dmvae_params, xs_te, dmvae_state)
+        zc_tr, zp_tr = embed_dataset_chunked(model, dmvae_params, xs_tr, dmvae_state)
+        zc_te, zp_te = embed_dataset_chunked(model, dmvae_params, xs_te, dmvae_state)
         probe_train = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
         probe_test = {"zc": zc_te, "zp": zp_te, "y": y_te}
         lf_train = {"xs": xs_tr, "y": y_tr}
