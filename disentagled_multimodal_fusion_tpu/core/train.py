@@ -221,6 +221,7 @@ def train_many(
     val_data_stack: Any = None,
     model_state_stack: Any = None,
     data_broadcast: bool = False,
+    segment_epochs: Optional[int] = None,
 ) -> TrainResult:
     """Train S independent model instances as ONE vmapped XLA program.
 
@@ -247,11 +248,42 @@ def train_many(
         has_state=model_state_stack is not None,
     )
     data_ax = None if data_broadcast else 0
-    run = jax.jit(
-        jax.vmap(program, in_axes=(0, 0, data_ax, data_ax, 0))
-    )
     rngs = jax.vmap(lambda k: jax.random.fold_in(k, 0x5CA1AB1E))(rngs)
-    return run(params_stack, rngs, data_stack, val_data_stack, model_state_stack)
+
+    if not segment_epochs or segment_epochs >= epochs:
+        run = jax.jit(jax.vmap(program, in_axes=(0, 0, data_ax, data_ax, 0)))
+        return run(params_stack, rngs, data_stack, val_data_stack, model_state_stack)
+
+    # exact-resume segmented execution
+    results, resume, start = [], None, 0
+    params, mstate = params_stack, model_state_stack
+    while start < epochs:
+        seg = min(segment_epochs, epochs - start)
+        prog = make_train_program(
+            loss_fn=loss_fn, n_train=n_train, optimizer=optimizer,
+            epochs=seg, batch_size=batch_size, drop_last=drop_last,
+            shuffle=shuffle, val_fn=val_fn,
+            has_state=model_state_stack is not None, start_epoch=start,
+        )
+        run = jax.jit(jax.vmap(prog, in_axes=(0, 0, data_ax, data_ax, 0, 0)))
+        r = run(params, rngs, data_stack, val_data_stack, mstate, resume)
+        jax.block_until_ready(r.train_loss)
+        results.append(r)
+        params, mstate = r.params, r.model_state
+        resume = (r.opt_state, r.plateau_state, r.rng)
+        rngs = r.rng  # unused when resume is given, kept aligned
+        start += seg
+    cat = lambda xs: jnp.concatenate(xs, axis=1)
+    last = results[-1]
+    return TrainResult(
+        params=last.params,
+        train_loss=cat([r.train_loss for r in results]),
+        val_loss=cat([r.val_loss for r in results]),
+        val_acc=cat([r.val_acc for r in results]),
+        final_lr=last.final_lr, model_state=last.model_state,
+        opt_state=last.opt_state, plateau_state=last.plateau_state,
+        rng=last.rng,
+    )
 
 
 def make_train_program(

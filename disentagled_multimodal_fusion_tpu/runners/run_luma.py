@@ -38,6 +38,10 @@ def main(argv=None):
                              "via data_broadcast)")
     parser.add_argument("--no-fused-dmvae", action="store_true",
                         help="use the unfused per-modality DMVAE")
+    parser.add_argument("--segment-epochs", type=int, default=None,
+                        help="split vmapped trainings into exact-resume "
+                             "segments of this many epochs (keeps single "
+                             "device executions short)")
     args = parser.parse_args(argv)
 
     configure()
@@ -145,6 +149,7 @@ def main(argv=None):
             loss_fn=loss_fn, data_stack={"xs": xs_tr}, n_train=n_train,
             optimizer=opt, epochs=dmvae_epochs, batch_size=batch_size,
             model_state_stack=bstats_stack, data_broadcast=True,
+            segment_epochs=args.segment_epochs,
         )
         dmvae_params, dmvae_state = res.params, res.model_state
         for i, s in enumerate(seeds):
@@ -215,6 +220,7 @@ def main(argv=None):
                 batch_size=batch_size, val_fn=task.val_fn,
                 val_data_stack=lf_test if is_lf else probe_test,
                 model_state_stack=ms_stack, data_broadcast=is_lf,
+                segment_epochs=args.segment_epochs,
             )
             for i, s in enumerate(seeds):
                 p_i = jax.tree.map(lambda a: a[i], res_m.params)

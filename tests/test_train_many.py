@@ -109,3 +109,33 @@ def test_resume_matches_uninterrupted():
         np.concatenate([np.asarray(seg1.train_loss), np.asarray(seg2.train_loss)]),
         np.asarray(full.train_loss), rtol=1e-5, atol=1e-6,
     )
+
+
+def test_train_many_segmented_matches_monolithic():
+    s = 2
+    problems = [_make_problem(i + 20) for i in range(s)]
+    opt = OptimizerConfig(name="adam", lr=0.03, schedule="cosine", cosine_t_max=24)
+    params_stack = {"w": jnp.zeros((s, 6, 3)), "b": jnp.zeros((s, 3))}
+    data_stack = {
+        "x": jnp.asarray(np.stack([p[0] for p in problems])),
+        "y": jnp.asarray(np.stack([p[1] for p in problems])),
+    }
+    kw = dict(
+        rngs=jnp.stack([jax.random.PRNGKey(i) for i in range(s)]),
+        params_stack=params_stack, loss_fn=_loss_fn, data_stack=data_stack,
+        n_train=80, optimizer=opt, epochs=24, batch_size=16,
+        val_fn=_val_fn, val_data_stack=data_stack,
+    )
+    mono = train_many(**kw)
+    seg = train_many(**kw, segment_epochs=7)  # 7+7+7+3
+    np.testing.assert_allclose(
+        np.asarray(seg.params["w"]), np.asarray(mono.params["w"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seg.train_loss), np.asarray(mono.train_loss),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seg.val_acc), np.asarray(mono.val_acc), atol=1e-6
+    )
