@@ -74,6 +74,8 @@ MAIN_COLUMNS_TAIL = [
     "view_0_epistemic_mean", "view_1_epistemic_mean", "shared_epistemic_mean",
     "fused_epistemic_mean",
     "view_0_accuracy", "view_1_accuracy", "shared_accuracy", "fused_accuracy",
+    # additive vs the reference's main sheet: the north-star tracks ECE
+    "fused_ece",
 ]
 
 
