@@ -280,6 +280,12 @@ def run_condition_vmapped(
         n_train=n_train, optimizer=opt, epochs=dmvae_epochs, batch_size=batch_size,
     )
     dmvae_params = res.params
+    for i, seed in enumerate(seeds):
+        save_checkpoint(
+            f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
+            jax.tree.map(lambda a: a[i], dmvae_params),
+            {"dataset": dataset_name, "seed": seed, "cond": cond},
+        )
     print(f"  [{dataset_name}/{cond}] DMVAE x{s_count} seeds trained "
           f"({time.time() - t0:.1f}s)", flush=True)
 
