@@ -74,25 +74,31 @@ class MultiViewDataset:
         ratio_conflict: float = 0.5,
         rng: Optional[np.random.Generator] = None,
     ):
-        rng = rng or np.random.default_rng()
+        """``rng=None`` uses the GLOBAL legacy np.random stream with the
+        reference's exact call sequence — bit-identical perturbations under
+        the same np.random.seed (pinned by tests/test_data.py)."""
         if addNoise:
             self.add_noise(index, ratio_noise, sigma, rng)
         if addConflict:
             self.add_conflict(index, ratio_conflict, rng)
 
-    def add_noise(self, index, ratio: float, sigma: float, rng: np.random.Generator):
+    def add_noise(self, index, ratio: float, sigma: float,
+                  rng: Optional[np.random.Generator] = None):
         """Gaussian noise on a random view-subset of selected rows
         (dataset.py:235-244)."""
-        selects = rng.choice(index, size=int(ratio * len(index)), replace=False)
+        r = rng if rng is not None else np.random
+        selects = r.choice(index, size=int(ratio * len(index)), replace=False)
         for i in selects:
-            k = rng.integers(1, self.num_views + 1)
-            views = rng.choice(np.arange(self.num_views), size=k, replace=False)
+            k = (r.integers if rng is not None else r.randint)(1, self.num_views + 1)
+            views = r.choice(np.arange(self.num_views), size=k, replace=False)
             for v in views:
-                self.X[v][i] = rng.normal(self.X[v][i], sigma)
+                self.X[v][i] = r.normal(self.X[v][i], sigma)
 
-    def add_conflict(self, index, ratio: float, rng: np.random.Generator):
+    def add_conflict(self, index, ratio: float,
+                     rng: Optional[np.random.Generator] = None):
         """Replace one view of selected rows with the next class's prototype
         (first occurrence; labels unchanged) (dataset.py:246-268)."""
+        r = rng if rng is not None else np.random
         records = {}
         for c in range(self.num_classes):
             cand = np.where(self.Y == c)[0]
@@ -100,9 +106,9 @@ class MultiViewDataset:
                 continue
             i = cand[0]
             records[c] = {v: self.X[v][i].copy() for v in range(self.num_views)}
-        selects = rng.choice(index, size=int(ratio * len(index)), replace=False)
+        selects = r.choice(index, size=int(ratio * len(index)), replace=False)
         for i in selects:
-            v = rng.integers(self.num_views)
+            v = (r.integers if rng is not None else r.randint)(self.num_views)
             if not records:
                 continue
             self.X[v][i] = records[(self.Y[i] + 1) % self.num_classes][v]

@@ -175,3 +175,50 @@ def test_fake_luma_pipeline(tmp_path):
     xs_bug, *_ = get_luma_arrays(root, replicate_image_bug=True, cache=False)
     assert np.allclose(xs_bug[2][0], xs_bug[2][-1])
     assert smoke(["--data-path", root]) == 0
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/datasets/dataset.py").exists(),
+    reason="reference not mounted",
+)
+def test_conflict_and_noise_bit_identical_to_reference():
+    """rng=None uses the legacy global np.random stream with the reference's
+    exact call order -> bit-identical perturbed arrays under the same seed."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, "/root/reference")  # dataset.py does bare sklearn imports
+    spec = importlib.util.spec_from_file_location(
+        "ref_dataset", "/root/reference/datasets/dataset.py"
+    )
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    n, v, d, c = 60, 3, 8, 4
+    base = np.stack([RNG.random((n, d)).astype(np.float64) for _ in range(v)])
+    y = np.repeat(np.arange(c), n // c) + 1  # 1-based like the .mat labels
+
+    ref_ds = ref_mod.MultiViewDataset("t", base.copy(), y.copy())
+    ours = MultiViewDataset("t", base.copy(), y.copy())
+    # we store f32 (device upload); the reference keeps f64 — compare at f32
+    for vv in range(v):
+        np.testing.assert_array_equal(ours.X[vv], ref_ds.X[vv].astype(np.float32))
+
+    test_idx = np.arange(30, 60)
+    np.random.seed(123)
+    ref_ds.postprocessing(test_idx, addConflict=True, ratio_conflict=1.0)
+    np.random.seed(123)
+    ours.postprocessing(test_idx, addConflict=True, ratio_conflict=1.0, rng=None)
+    for vv in range(v):
+        # identical selection + prototype indices -> f32-identical arrays
+        np.testing.assert_array_equal(ours.X[vv], ref_ds.X[vv].astype(np.float32))
+
+    np.random.seed(7)
+    ref_ds.postprocessing(test_idx, addNoise=True, sigma=0.5, ratio_noise=0.5)
+    np.random.seed(7)
+    ours.postprocessing(test_idx, addNoise=True, sigma=0.5, ratio_noise=0.5, rng=None)
+    for vv in range(v):
+        # identical gaussian draws; loc is f32-rounded on our side
+        np.testing.assert_allclose(
+            ours.X[vv], ref_ds.X[vv].astype(np.float32), atol=1e-6
+        )
