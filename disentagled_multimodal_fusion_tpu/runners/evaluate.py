@@ -57,10 +57,12 @@ def main(argv=None):
     C = make_getter(load_config("config.yaml"))
     seed, name, cond = args.seed, args.model, ("conflict" if args.conflict else "normal")
 
-    # replay the split exactly as run.py does
-    rng_np = np.random.default_rng(seed)
+    # replay the split exactly as run.py does (legacy global np.random
+    # stream, reference-identical)
+    np.random.seed(seed)
     dataset = DATASET_REGISTRY[args.dataset]()
-    idx = rng_np.permutation(len(dataset))
+    idx = np.arange(len(dataset))
+    np.random.shuffle(idx)
     n_tr = int(C("data.split.train_frac", 0.8) * len(dataset))
     test_idx = idx[n_tr:]
     if args.conflict:
@@ -69,7 +71,7 @@ def main(argv=None):
             test_idx, addNoise=pp.get("addNoise", False), sigma=pp.get("sigma", 0.5),
             ratio_noise=pp.get("ratio_noise", 0.0),
             addConflict=pp.get("addConflict", True),
-            ratio_conflict=pp.get("ratio_conflict", 1.0), rng=rng_np,
+            ratio_conflict=pp.get("ratio_conflict", 1.0), rng=None,
         )
     views, labels = dataset.arrays()
     xs_te = tuple(jnp.asarray(v[test_idx]) for v in views)

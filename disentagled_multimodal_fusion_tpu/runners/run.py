@@ -45,11 +45,15 @@ def run_condition(
      build_late_fusion_task, embed_dataset) = builders
 
     t0 = time.time()
-    rng_np = np.random.default_rng(seed)
+    # legacy global np.random stream, seeded like pl.seed_everything
+    # (run.py:180-181): splits and conflict injections are bit-identical to
+    # the reference's under the same seed (tests pin the injection path)
+    np.random.seed(seed)
     dataset = DATASET_REGISTRY[dataset_name]()
     n = len(dataset)
     train_frac = C("data.split.train_frac", 0.8)
-    idx = rng_np.permutation(n)
+    idx = np.arange(n)
+    np.random.shuffle(idx)
     n_tr = int(train_frac * n)
     train_idx, test_idx = idx[:n_tr], idx[n_tr:]
 
@@ -62,7 +66,7 @@ def run_condition(
             ratio_noise=pp.get("ratio_noise", 0.0),
             addConflict=pp.get("addConflict", True),
             ratio_conflict=pp.get("ratio_conflict", 1.0),
-            rng=rng_np,
+            rng=None,
         )
 
     views, labels = dataset.arrays()
@@ -211,10 +215,12 @@ def run_condition_vmapped(
     # ---- per-seed splits (+ conflict injection), stacked (S, n, D) ----
     xs_tr_l, xs_te_l, y_tr_l, y_te_l = [], [], [], []
     for seed in seeds:
-        rng_np = np.random.default_rng(seed)
+        # reference-identical split + injection stream (see run_condition)
+        np.random.seed(seed)
         dataset = DATASET_REGISTRY[dataset_name]()
         n = len(dataset)
-        idx = rng_np.permutation(n)
+        idx = np.arange(n)
+        np.random.shuffle(idx)
         n_tr = int(C("data.split.train_frac", 0.8) * n)
         train_idx, test_idx = idx[:n_tr], idx[n_tr:]
         if conflict:
@@ -224,7 +230,7 @@ def run_condition_vmapped(
                 addNoise=pp.get("addNoise", False), sigma=pp.get("sigma", 0.5),
                 ratio_noise=pp.get("ratio_noise", 0.0),
                 addConflict=pp.get("addConflict", True),
-                ratio_conflict=pp.get("ratio_conflict", 1.0), rng=rng_np,
+                ratio_conflict=pp.get("ratio_conflict", 1.0), rng=None,
             )
         views, labels = dataset.arrays()
         xs_tr_l.append([v[train_idx] for v in views])
