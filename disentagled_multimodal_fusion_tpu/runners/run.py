@@ -190,7 +190,7 @@ def run_condition(
 
 def run_condition_vmapped(
     *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
-    fused_dmvae=True,
+    fused_dmvae=True, noise=False,
 ):
     """Seed-vectorised variant of run_condition: all seeds of one
     (dataset, condition) cell train as ONE vmapped program per model type
@@ -210,7 +210,7 @@ def run_condition_vmapped(
     (build_dmvae_task, build_probe_task, build_disentangled_probe_task,
      build_late_fusion_task, _embed) = builders
     t0 = time.time()
-    cond = "conflict" if conflict else "normal"
+    cond = "conflict" if conflict else ("noise" if noise else "normal")
 
     # ---- per-seed splits (+ conflict injection), stacked (S, n, D) ----
     xs_tr_l, xs_te_l, y_tr_l, y_te_l = [], [], [], []
@@ -223,13 +223,14 @@ def run_condition_vmapped(
         np.random.shuffle(idx)
         n_tr = int(C("data.split.train_frac", 0.8) * n)
         train_idx, test_idx = idx[:n_tr], idx[n_tr:]
-        if conflict:
+        if conflict or noise:
             pp = C("data.conflict", {}) or {}
             dataset.postprocessing(
                 test_idx,
-                addNoise=pp.get("addNoise", False), sigma=pp.get("sigma", 0.5),
-                ratio_noise=pp.get("ratio_noise", 0.0),
-                addConflict=pp.get("addConflict", True),
+                addNoise=noise or pp.get("addNoise", False),
+                sigma=pp.get("sigma", 0.5),
+                ratio_noise=1.0 if noise else pp.get("ratio_noise", 0.0),
+                addConflict=conflict and pp.get("addConflict", True),
                 ratio_conflict=pp.get("ratio_conflict", 1.0), rng=None,
             )
         views, labels = dataset.arrays()
@@ -423,8 +424,13 @@ def main(argv=None):
     if args.vmap_seeds:
         for seed in seeds:
             rows[seed] = {c: {} for c in args.conditions}
-        for cond_name, ds_list, is_conflict in [
-            ("Normal", normal_ds, False), ("Conflict", conflict_ds, True),
+        # "Noise" condition (addNoise on test rows, sigma from
+        # data.conflict.sigma) — the reference's config knob
+        # (configs/config.yaml:13-18) that its drivers never sweep
+        for cond_name, ds_list, is_conflict, is_noise in [
+            ("Normal", normal_ds, False, False),
+            ("Conflict", conflict_ds, True, False),
+            ("Noise", conflict_ds, False, True),  # Gaussian-noise UQ variant
         ]:
             if cond_name not in args.conditions:
                 continue
@@ -434,6 +440,7 @@ def main(argv=None):
                     C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
                     quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                     rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
+                    noise=is_noise,
                 )
                 for s in seeds:
                     rows[s][cond_name][ds_name] = rows_by_seed[s]
