@@ -134,6 +134,8 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--epochs", type=int, default=200)
     parser.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2])
+    parser.add_argument("--dataset", default="HandWritten")
+    parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
     from disentagled_multimodal_fusion_tpu.core.setup import configure
@@ -160,7 +162,7 @@ def main():
 
     for seed in args.seeds:
         rng_np = np.random.default_rng(seed)
-        ds = DATASET_REGISTRY["HandWritten"]()
+        ds = DATASET_REGISTRY[args.dataset]()
         idx = rng_np.permutation(len(ds))
         n_tr = int(0.8 * len(ds))
         tr, te = idx[:n_tr], idx[n_tr:]
@@ -271,9 +273,8 @@ def main():
         )
     print(json.dumps(summary, indent=1))
     Path("results").mkdir(exist_ok=True)
-    Path("results/parity_check.json").write_text(
-        json.dumps({"per_seed": out, "summary": summary}, indent=1)
-    )
+    dest = args.out or f"results/parity_check_{args.dataset.lower()}.json"
+    Path(dest).write_text(json.dumps({"per_seed": out, "summary": summary}, indent=1))
 
 
 if __name__ == "__main__":
