@@ -152,16 +152,28 @@ class ImageEncoder(nn.Module):
 
 
 class AudioEncoder(nn.Module):
-    """MFCC MLP 40 -> 128 -> 256 -> output_dim (reference: classifiers.py:133-217,
-    use_2d=False path)."""
+    """Audio encoder (reference: classifiers.py:133-217).
+
+    use_2d=False (default, the path run_luma exercises): MFCC MLP
+    40 -> 128 -> 256 -> output_dim.
+    use_2d=True: 2D-spectrogram CNN — 3 conv blocks (1->32->64->128 ch,
+    3x3 SAME, BatchNorm + ReLU; blocks 1-2 add MaxPool(2) + channel
+    dropout, block 3 ends in global average pooling), then a single
+    Dense 128 -> output_dim (reference classifiers.py:155-179). Input is
+    (B, H, W) or (B, 1, H, W) / (B, H, W, 1); any spatial size works
+    because of the global pool (mirrors AdaptiveAvgPool2d(1)).
+    """
 
     input_dim: int = 40
     output_dim: int = 200
     dropout: float = 0.1
+    use_2d: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.use_2d:
+            return self._forward_2d(x, train)
         x = TorchLinear(128, dtype=self.dtype)(x)
         x = nn.relu(x)
         if self.dropout > 0:
@@ -171,6 +183,27 @@ class AudioEncoder(nn.Module):
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return TorchLinear(self.output_dim, dtype=self.dtype)(x)
+
+    def _forward_2d(self, x, train: bool):
+        b = x.shape[0]
+        if x.ndim == 3:  # (B, H, W) -> NHWC
+            x = x[..., None]
+        elif x.ndim == 4 and x.shape[1] == 1:  # torch NCHW -> NHWC
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        for i, ch in enumerate((32, 64, 128)):
+            x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            if i < 2:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                if self.dropout > 0:
+                    # Dropout2d drops whole channels.
+                    x = nn.Dropout(
+                        self.dropout, broadcast_dims=(1, 2),
+                        deterministic=not train,
+                    )(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 128)
+        return TorchLinear(self.output_dim, dtype=self.dtype)(x.reshape(b, -1))
 
 
 class TextEncoder(nn.Module):

@@ -91,10 +91,12 @@ def evidential_head_fused(x, w1, b1, w2, b2, interpret: bool = False):
 
 
 def evidential_heads_stacked(x_stack, w1s, b1s, w2s, b2s, interpret: bool = False):
-    """V heads over V inputs in one launch via the leading grid axis.
+    """V heads over V inputs, vmapped over the head axis.
 
     x_stack: (V, B, D); w1s: (V, D, H); ... -> (B, V, C) evidences
-    (the probe's stacked layout, evidential_probe.py:97-103).
+    (the probe's stacked layout, evidential_probe.py:97-103). vmap lifts
+    the per-head kernel over the V axis (Mosaic turns this into a batched
+    grid), so all heads share one compiled kernel.
     """
     f = functools.partial(evidential_head_fused, interpret=interpret)
     ev = jax.vmap(f)(x_stack, w1s, b1s, w2s, b2s)  # (V, B, C)

@@ -40,6 +40,19 @@ def make_getter(cfg: dict):
     return C
 
 
+def cell_seed(seed: int, dataset_name: str, conflict: bool) -> int:
+    """Process-stable integer seed for one (seed, dataset, condition) cell.
+
+    Uses zlib.crc32, NOT Python's hash(): str hashing is salted per process
+    (PYTHONHASHSEED), which made model-init/shuffle PRNGKeys differ between
+    invocations of the same cell in round 1. Splits/injections were always
+    fine (np.random.seed); this pins the training RNG too.
+    """
+    import zlib
+
+    return seed * 1000 + zlib.crc32(dataset_name.encode()) % 997 + (500 if conflict else 0)
+
+
 def to_device(arrays):
     """Upload a pytree of numpy arrays to the default device once."""
     import jax

@@ -93,7 +93,8 @@ def run_condition(
     embed_dim = C("dmvae.embed_dim", 200)
     probe_input_dim = C("probes.input_dim", 200)
 
-    key = jax.random.PRNGKey(seed * 1000 + hash(dataset_name) % 997 + (500 if conflict else 0))
+    from .common import cell_seed
+    key = jax.random.PRNGKey(cell_seed(seed, dataset_name, conflict))
     keys = jax.random.split(key, 16)
 
     # ---- DMVAE backbone ----
@@ -263,10 +264,8 @@ def run_condition_vmapped(
     def stack_params(tasks_or_params):
         return jax.tree.map(lambda *xs: jnp.stack(xs), *tasks_or_params)
 
-    seed_keys = [
-        jax.random.PRNGKey(s * 1000 + hash(dataset_name) % 997 + (500 if conflict else 0))
-        for s in seeds
-    ]
+    from .common import cell_seed
+    seed_keys = [jax.random.PRNGKey(cell_seed(s, dataset_name, conflict)) for s in seeds]
 
     # ---- DMVAE, all seeds at once ----
     dm = [

@@ -86,6 +86,9 @@ def main(argv=None):
         "max_length": C("data.audio.max_length", 3.0),
         "n_mfcc": C("data.audio.n_mfcc", 40),
         "use_mfcc": C("data.audio.use_mfcc", True),
+        # reference classifiers.py:149 use_2d — 2D-spectrogram conv branch
+        # (latent in the reference: run_luma.py never sets it)
+        "use_2d": C("data.audio.use_2d", False),
     }
     text_cfg = {
         "max_length": C("data.text.max_length", 128),
@@ -112,7 +115,8 @@ def main(argv=None):
     def encoders():
         # run_luma.py:199-203
         return (
-            AudioEncoder(input_dim=audio_cfg["n_mfcc"], output_dim=enc_out, dropout=0.1),
+            AudioEncoder(input_dim=audio_cfg["n_mfcc"], output_dim=enc_out,
+                         dropout=0.1, use_2d=audio_cfg["use_2d"]),
             TextEncoder(input_dim=text_cfg["max_length"], output_dim=enc_out, dropout=0.1),
             ImageEncoder(output_dim=enc_out, dropout=0.1),
         )

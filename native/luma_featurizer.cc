@@ -14,7 +14,8 @@
 // __getitem__ (its I/O hot loop); this library lets the offline compile
 // step chew through the whole corpus at native speed, and the exported
 // mfcc_mean() is bit-compatible (to f32 round-off) with the numpy
-// implementation — tested in tests/test_native_featurizer.py.
+// implementation — tested in
+// tests/test_data.py::test_wav_roundtrip_and_native_parity.
 //
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
 // ABI: plain C functions over float32 buffers (ctypes-friendly).

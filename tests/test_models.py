@@ -145,6 +145,36 @@ def test_luma_encoders_shapes():
     assert out.shape == (2, 200)
 
 
+def test_audio_encoder_2d():
+    """use_2d spectrogram branch (reference classifiers.py:155-217): layer
+    stack = 3 conv blocks (1->32->64->128, two maxpools, global avg pool)
+    + Dense(128->out); any spatial size; (B,H,W) and (B,1,H,W) agree."""
+    a = AudioEncoder(use_2d=True, output_dim=64)
+    x3 = jax.random.normal(KEY, (2, 40, 28))
+    variables = a.init({"params": KEY, "dropout": KEY}, x3, train=False)
+    params, bstats = variables["params"], variables["batch_stats"]
+    out = a.apply({"params": params, "batch_stats": bstats}, x3, train=False)
+    assert out.shape == (2, 64)
+
+    # conv channel progression matches the reference stack
+    convs = sorted(k for k in params if k.startswith("Conv"))
+    assert [params[k]["kernel"].shape[-1] for k in convs] == [32, 64, 128]
+    # single FC: 128 (post global-pool) -> output_dim, like ref fc_layers
+    assert params["TorchLinear_0"]["Dense_0"]["kernel"].shape == (128, 64)
+
+    # NCHW input (torch layout) gives identical output
+    out4 = a.apply(
+        {"params": params, "batch_stats": bstats}, x3[:, None, :, :], train=False
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out4), rtol=1e-6)
+
+    # different spatial size still works (AdaptiveAvgPool2d(1) semantics)
+    x_big = jax.random.normal(KEY, (3, 64, 64))
+    assert a.apply(
+        {"params": params, "batch_stats": bstats}, x_big, train=False
+    ).shape == (3, 64)
+
+
 @pytest.mark.parametrize("distribution", ["normal", "vmf"])
 def test_disentangledssl_loss(distribution):
     model = DisentangledSSL(

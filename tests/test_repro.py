@@ -1,0 +1,88 @@
+"""Cross-process reproducibility: the round-1 bug was runners/run.py seeding
+PRNGKeys with ``hash(dataset_name)`` — salted per process via PYTHONHASHSEED,
+so re-running the same (seed, dataset) cell gave different training RNG.
+Now runners derive keys via ``runners.common.cell_seed`` (zlib.crc32).
+
+The subprocess test trains one real model (LateFusion-cml on a small
+HandWritten slice) through the production task-builder + train path in two
+processes with DIFFERENT PYTHONHASHSEED values and asserts bit-identical
+fused accuracy and parameters.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+_CHILD = r"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, "@@ROOT@@")
+from disentagled_multimodal_fusion_tpu.runners.common import cell_seed
+import jax, jax.numpy as jnp
+import numpy as np
+from disentagled_multimodal_fusion_tpu.core.tasks import build_late_fusion_task
+from disentagled_multimodal_fusion_tpu.core.train import train
+
+# key derivation exactly as runners/run.py does it
+salts = [cell_seed(s, ds, c) for s in (0, 1) for ds in ("CUB", "HandWritten", "PIE", "Scene") for c in (False, True)]
+key = jax.random.PRNGKey(cell_seed(0, "HandWritten", False))
+keys = jax.random.split(key, 16)
+
+rng = np.random.default_rng(0)
+xs = tuple(jnp.asarray(rng.random((120, d), np.float32)) for d in (24, 16))
+y = jnp.asarray(rng.integers(0, 5, 120))
+task = build_late_fusion_task(
+    rng=keys[5], output_dims=[24, 16], num_classes=5, hidden_dim=(32,),
+    dropout=0.1, lr=3e-3, annealing_start=50, aggregation="cml", fused=1.0,
+)
+res = train(
+    rng=keys[8], params=task.params, loss_fn=task.loss_fn,
+    data={"xs": xs, "y": y}, n_train=120, optimizer=task.optimizer,
+    epochs=3, batch_size=32, drop_last=False,
+    val_fn=task.val_fn, val_data={"xs": xs, "y": y},
+)
+leaves = jax.tree.leaves(res.params)
+digest = float(sum(jnp.sum(jnp.abs(l).astype(jnp.float64)) for l in leaves))
+print(json.dumps({
+    "salts": salts,
+    "val_acc": float(res.val_acc[-1]),
+    "train_loss": float(res.train_loss[-1]),
+    "param_digest": repr(digest),
+}))
+"""
+
+
+def _run_child(hashseed: str) -> dict:
+    import json
+
+    env = dict(os.environ)
+    env["PYTHONHASHSEED"] = hashseed
+    env.pop("XLA_FLAGS", None)  # single-device child is fine and compiles faster
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD.replace("@@ROOT@@", str(REPO_ROOT))],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_training_bit_stable_across_processes():
+    a = _run_child("0")
+    b = _run_child("4242")
+    assert a["salts"] == b["salts"], "cell_seed must not depend on PYTHONHASHSEED"
+    assert a["param_digest"] == b["param_digest"], (a, b)
+    assert a["val_acc"] == b["val_acc"]
+    assert a["train_loss"] == b["train_loss"]
+
+
+def test_hash_not_used_for_keys():
+    """Guard: no PRNG seeding via builtin hash() in the runners."""
+    runners = REPO_ROOT / "disentagled_multimodal_fusion_tpu" / "runners"
+    for py in runners.glob("*.py"):
+        src = py.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if "PRNGKey" in line and "hash(" in line:
+                raise AssertionError(f"{py.name}:{i} seeds PRNGKey with hash(): {line.strip()}")
