@@ -146,6 +146,7 @@ def train(
     start_epoch: int = 0,
     resume: Any = None,
     mesh: Any = None,
+    tp_hidden_dim: Optional[int] = None,
 ) -> TrainResult:
     """Run a full training job as one jitted scan.
 
@@ -158,6 +159,12 @@ def train(
     the dataset's row axis is sharded across it, params/opt state are
     replicated, and jit's partitioner inserts the gradient all-reduce over
     ICI (SURVEY.md §5.8's TPU-native scaling story).
+
+    Tensor parallelism: when the mesh also has a 'model' axis (size > 1),
+    pass ``tp_hidden_dim`` (the MLP hidden width) — params whose kernels
+    touch that width are column/row-split over 'model'
+    (parallel.mesh.param_sharding_rule) and XLA inserts the activation
+    collectives. Opt state inherits the param shardings through jit.
 
     loss_fn(params, batch, mask, t, rng[, state]) -> (loss, aux). ``batch``
     is the pytree ``data`` gathered at the (B,) batch indices; ``mask`` is
@@ -187,18 +194,50 @@ def train(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        n_dp = mesh.shape["data"]
         row_sharding = NamedSharding(mesh, P("data"))
-        replicated = NamedSharding(mesh, P())
-        data = jax.tree.map(lambda a: jax.device_put(a, row_sharding), data)
+        replicated_rows = NamedSharding(mesh, P())
+
+        def place_rows(a):
+            """Shard rows over 'data'; zero-pad to a shardable multiple.
+
+            Pad rows are inert: the batch plan only ever gathers indices
+            < n_train, so training math is unchanged (the padded batch-tail
+            masking in _epoch_batches is a separate mechanism).
+            """
+            pad = (-a.shape[0]) % n_dp
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                )
+            return jax.device_put(a, row_sharding)
+
+        data = jax.tree.map(place_rows, data)
         if val_data is not None:
+            # val_fn consumes val_data wholesale (no mask), so padding would
+            # corrupt the metrics: shard only when evenly divisible.
             val_data = jax.tree.map(
-                lambda a: jax.device_put(a, row_sharding), val_data
+                lambda a: jax.device_put(
+                    a, row_sharding if a.shape[0] % n_dp == 0 else replicated_rows
+                ),
+                val_data,
             )
-        params = jax.tree.map(lambda a: jax.device_put(a, replicated), params)
+        use_tp = (
+            tp_hidden_dim is not None
+            and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+        )
+        if use_tp:
+            from ..parallel.mesh import param_sharding_rule
+
+            rule = param_sharding_rule(tp_hidden_dim)
+            place = lambda a: jax.device_put(a, NamedSharding(mesh, rule(a)))
+        else:
+            replicated = NamedSharding(mesh, P())
+            place = lambda a: jax.device_put(a, replicated)
+        params = jax.tree.map(place, params)
         if model_state is not None:
-            model_state = jax.tree.map(
-                lambda a: jax.device_put(a, replicated), model_state
-            )
+            model_state = jax.tree.map(place, model_state)
 
     # Fresh key buffer: donation would otherwise invalidate the caller's key.
     rng = jax.random.fold_in(rng, 0x5CA1AB1E)
@@ -222,6 +261,7 @@ def train_many(
     model_state_stack: Any = None,
     data_broadcast: bool = False,
     segment_epochs: Optional[int] = None,
+    mesh: Any = None,
 ) -> TrainResult:
     """Train S independent model instances as ONE vmapped XLA program.
 
@@ -235,7 +275,41 @@ def train_many(
     ``data_broadcast=True`` shares ONE (unstacked) train/val dataset across
     all instances (e.g. multi-seed training on a fixed corpus) instead of
     materialising S copies.
+
+    ``mesh``: a Mesh with a 'data' axis — the instance (S) axis of every
+    stacked input is sharded across it, so each device trains S/ndev
+    instances entirely locally (zero collectives; the cheapest scaling for
+    the seeds-sweep). Requires S % mesh.shape['data'] == 0. Broadcast data
+    is replicated across the mesh.
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dp = mesh.shape["data"]
+        s_count = rngs.shape[0]
+        if s_count % n_dp != 0:
+            raise ValueError(
+                f"train_many(mesh=...): instance count {s_count} must divide "
+                f"by the mesh 'data' axis ({n_dp}); pad the seed list or "
+                f"shrink the mesh"
+            )
+        inst = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        place_inst = lambda t: jax.tree.map(lambda a: jax.device_put(a, inst), t)
+        rngs = place_inst(rngs)
+        params_stack = place_inst(params_stack)
+        if model_state_stack is not None:
+            model_state_stack = place_inst(model_state_stack)
+        if data_broadcast:
+            data_stack = jax.tree.map(lambda a: jax.device_put(a, repl), data_stack)
+            if val_data_stack is not None:
+                val_data_stack = jax.tree.map(
+                    lambda a: jax.device_put(a, repl), val_data_stack
+                )
+        else:
+            data_stack = place_inst(data_stack)
+            if val_data_stack is not None:
+                val_data_stack = place_inst(val_data_stack)
     program = make_train_program(
         loss_fn=loss_fn,
         n_train=n_train,

@@ -47,31 +47,56 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding_rule(hidden_dim: int):
+def param_sharding_rule(hidden_dim: int, instance_axis: Optional[str] = None):
     """PartitionSpec rule implementing the hidden-dim tensor-parallel cut.
 
-    Any kernel whose output dim equals hidden_dim is column-parallel
-    (P(None, 'model')); a kernel consuming hidden_dim rows is row-parallel
-    (P('model', None)); hidden biases shard on 'model'; everything else is
-    replicated.
+    Any kernel whose last dim equals hidden_dim is column-parallel
+    (..., 'model'); a kernel consuming hidden_dim rows is row-parallel
+    (..., 'model', None); hidden biases shard on 'model'; everything else
+    is replicated. Works for plain (in, out) kernels, modality-stacked
+    (N, in, out) kernels (models/dmvae_fused.py), and seed-stacked
+    (S, ...) variants of either.
+
+    ``instance_axis``: name of a mesh axis to shard the LEADING axis over —
+    used by train_many's seed-stacked params, where axis 0 is the instance
+    axis (each device owns a slice of the independent trainings).
     """
 
+    lead = instance_axis  # None -> no leading cut
+
     def rule(x: jax.Array) -> P:
-        if x.ndim == 2:
-            if x.shape[1] == hidden_dim:
-                return P(None, "model")
-            if x.shape[0] == hidden_dim:
-                return P("model", None)
-        if x.ndim == 3:  # stacked (N, in, out) kernels (models/dmvae_fused.py)
-            if x.shape[2] == hidden_dim:
-                return P(None, None, "model")
-            if x.shape[1] == hidden_dim:
-                return P(None, "model", None)
-        if x.ndim == 1 and x.shape[0] == hidden_dim:
-            return P("model")
+        ndim = x.ndim
+        head = [lead] if lead is not None else []
+        body_ndim = ndim - len(head)
+        if body_ndim >= 2:
+            if x.shape[-1] == hidden_dim:
+                return P(*head, *([None] * (body_ndim - 1)), "model")
+            if x.shape[-2] == hidden_dim:
+                return P(*head, *([None] * (body_ndim - 2)), "model", None)
+        if body_ndim == 1 and x.shape[-1] == hidden_dim:
+            return P(*head, "model")
+        if head and ndim >= 1:
+            return P(*head, *([None] * (ndim - 1)))
         return P()
 
     return rule
+
+
+def instance_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (stacked-instance) axis of train_many inputs."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_instances(pytree, mesh: Mesh, axis: str = "data"):
+    """Place seed/instance-stacked pytrees with axis 0 split over ``axis``.
+
+    Each device then holds (and trains) only its own slice of the S
+    independent instances — the vmapped train program partitions along S
+    with ZERO collectives (fully data-local parallelism over ICI-free
+    work; the cheapest possible scaling for the seeds x models sweep).
+    """
+    sh = instance_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), pytree)
 
 
 def shard_params(params, mesh: Mesh, hidden_dim: int):

@@ -53,6 +53,42 @@ def cell_seed(seed: int, dataset_name: str, conflict: bool) -> int:
     return seed * 1000 + zlib.crc32(dataset_name.encode()) % 997 + (500 if conflict else 0)
 
 
+def add_mesh_args(parser) -> None:
+    """--data-parallel/--model-parallel flags shared by the drivers."""
+    parser.add_argument(
+        "--data-parallel", type=int, default=1, metavar="N",
+        help="shard work over N devices along the mesh 'data' axis "
+             "(dataset rows for single fits, the seed/instance axis for "
+             "--vmap-seeds)",
+    )
+    parser.add_argument(
+        "--model-parallel", type=int, default=1, metavar="N",
+        help="tensor-parallel hidden-dim cut over N devices (mesh 'model' axis)",
+    )
+
+
+def build_runner_mesh(data_parallel: int = 1, model_parallel: int = 1):
+    """Mesh for the runner flags; None when no parallelism requested."""
+    if data_parallel <= 1 and model_parallel <= 1:
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    n = data_parallel * model_parallel
+    avail = len(jax.devices())
+    if n > avail:
+        raise SystemExit(
+            f"--data-parallel x --model-parallel = {n} devices requested, "
+            f"but only {avail} visible (set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N for CPU tests)"
+        )
+    mesh = make_mesh(n_devices=n, model_parallel=model_parallel)
+    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+          f"over {n} {jax.devices()[0].platform} device(s)", flush=True)
+    return mesh
+
+
 def to_device(arrays):
     """Upload a pytree of numpy arrays to the default device once."""
     import jax

@@ -30,7 +30,7 @@ from ..core.setup import configure
 
 def run_condition(
     *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out,
-    fused_dmvae=True,
+    fused_dmvae=True, mesh=None,
 ):
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -109,6 +109,7 @@ def run_condition(
         rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
         n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
         batch_size=batch_size, drop_last=False, model_state=bstats,
+        mesh=mesh, tp_hidden_dim=C("dmvae.hidden_dim", 512),
     )
     dmvae_params = res.params
     cond = "conflict" if conflict else "normal"
@@ -165,6 +166,7 @@ def run_condition(
             data=tr_data, n_train=n_train, optimizer=task.optimizer,
             epochs=probe_epochs, batch_size=batch_size, drop_last=False,
             val_fn=task.val_fn, val_data=te_data,
+            mesh=mesh, tp_hidden_dim=probe_hidden[0],
         )
         # dispatch mirrors run.py:252-255
         if name == "dmvae_dis":
@@ -191,7 +193,7 @@ def run_condition(
 
 def run_condition_vmapped(
     *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
-    fused_dmvae=True, noise=False,
+    fused_dmvae=True, noise=False, mesh=None,
 ):
     """Seed-vectorised variant of run_condition: all seeds of one
     (dataset, condition) cell train as ONE vmapped program per model type
@@ -284,6 +286,7 @@ def run_condition_vmapped(
         rngs=jnp.stack([jax.random.fold_in(k, 1) for k in seed_keys]),
         params_stack=params_stack, loss_fn=loss_fn, data_stack={"xs": xs_tr},
         n_train=n_train, optimizer=opt, epochs=dmvae_epochs, batch_size=batch_size,
+        mesh=mesh,
     )
     dmvae_params = res.params
     for i, seed in enumerate(seeds):
@@ -349,6 +352,7 @@ def run_condition_vmapped(
             params_stack=params_stack, loss_fn=task.loss_fn, data_stack=tr_d,
             n_train=n_train, optimizer=task.optimizer, epochs=probe_epochs,
             batch_size=batch_size, val_fn=task.val_fn, val_data_stack=te_d,
+            mesh=mesh,
         )
         for s, seed in enumerate(seeds):
             params_s = jax.tree.map(lambda a: a[s], res_m.params)
@@ -389,12 +393,16 @@ def main(argv=None):
         help="train all seeds of each (dataset, condition) cell as one "
              "vmapped program (same math, ~Nx throughput)",
     )
+    from .common import add_mesh_args, build_runner_mesh
+    add_mesh_args(parser)
     args = parser.parse_args(argv)
 
     configure()
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    mesh = build_runner_mesh(args.data_parallel, args.model_parallel)
 
     from ..core.tasks import (
         build_disentangled_probe_task,
@@ -439,7 +447,7 @@ def main(argv=None):
                     C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
                     quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                     rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
-                    noise=is_noise,
+                    noise=is_noise, mesh=mesh,
                 )
                 for s in seeds:
                     rows[s][cond_name][ds_name] = rows_by_seed[s]
@@ -454,7 +462,7 @@ def main(argv=None):
                         C=C, seed=seed, dataset_name=ds_name, conflict=False,
                         quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                         rows_out=rows[seed]["Normal"][ds_name],
-                        fused_dmvae=not args.no_fused_dmvae,
+                        fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
                     )
             if "Conflict" in args.conditions:
                 rows[seed]["Conflict"] = {}
@@ -464,7 +472,7 @@ def main(argv=None):
                         C=C, seed=seed, dataset_name=ds_name, conflict=True,
                         quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                         rows_out=rows[seed]["Conflict"][ds_name],
-                        fused_dmvae=not args.no_fused_dmvae,
+                        fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
                     )
 
     df = build_metrics_dataframe_datasets(rows)

@@ -42,11 +42,15 @@ def main(argv=None):
                         help="split vmapped trainings into exact-resume "
                              "segments of this many epochs (keeps single "
                              "device executions short)")
+    from .common import add_mesh_args, build_runner_mesh
+    add_mesh_args(parser)
     args = parser.parse_args(argv)
 
     configure()
     import jax
     import jax.numpy as jnp
+
+    mesh = build_runner_mesh(args.data_parallel, args.model_parallel)
 
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -153,7 +157,7 @@ def main(argv=None):
             loss_fn=loss_fn, data_stack={"xs": xs_tr}, n_train=n_train,
             optimizer=opt, epochs=dmvae_epochs, batch_size=batch_size,
             model_state_stack=bstats_stack, data_broadcast=True,
-            segment_epochs=args.segment_epochs,
+            segment_epochs=args.segment_epochs, mesh=mesh,
         )
         dmvae_params, dmvae_state = res.params, res.model_state
         for i, s in enumerate(seeds):
@@ -224,7 +228,7 @@ def main(argv=None):
                 batch_size=batch_size, val_fn=task.val_fn,
                 val_data_stack=lf_test if is_lf else probe_test,
                 model_state_stack=ms_stack, data_broadcast=is_lf,
-                segment_epochs=args.segment_epochs,
+                segment_epochs=args.segment_epochs, mesh=mesh,
             )
             for i, s in enumerate(seeds):
                 p_i = jax.tree.map(lambda a: a[i], res_m.params)
@@ -269,6 +273,7 @@ def main(argv=None):
             rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
             n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
             batch_size=batch_size, drop_last=False, model_state=bstats,
+            mesh=mesh, tp_hidden_dim=C("dmvae.hidden_dim", 512),
         )
         dmvae_params = res.params
         dmvae_state = res.model_state
@@ -322,6 +327,7 @@ def main(argv=None):
                 data=tr_d, n_train=n_train, optimizer=task.optimizer,
                 epochs=probe_epochs, batch_size=batch_size, drop_last=False,
                 val_fn=task.val_fn, val_data=te_d, model_state=task.model_state,
+                mesh=mesh, tp_hidden_dim=probe_hidden[0],
             )
             if name == "dmvae_dis":
                 info = evaluate_subjective_model(task, res_m.params, te_d, res_m.model_state)

@@ -37,11 +37,15 @@ def main(argv=None):
                         help="disentangling backbone: DMVAE (reference "
                              "protocol) or DisentangledSSL (drop-in, "
                              "disentangledssl.py:17-194)")
+    from .common import add_mesh_args, build_runner_mesh
+    add_mesh_args(parser)
     args = parser.parse_args(argv)
 
     configure()
     import jax
     import jax.numpy as jnp
+
+    mesh = build_runner_mesh(args.data_parallel, args.model_parallel)
 
     from ..core.tasks import (
         build_disentangledssl_task,
@@ -147,6 +151,7 @@ def main(argv=None):
                 params_stack=stackp([t[1] for t in dm]), loss_fn=loss_fn,
                 data_stack={"xs": xs_tr}, n_train=n_train, optimizer=opt,
                 epochs=dmvae_epochs, batch_size=batch_size, drop_last=True,
+                mesh=mesh,
             )
             embed_v = jax.jit(jax.vmap(lambda p, xs: embed_dataset(model, p, xs)))
             zc_tr, zp_tr = embed_v(res.params, xs_tr)
@@ -191,6 +196,7 @@ def main(argv=None):
                     loss_fn=task.loss_fn, data_stack=tr_d, n_train=n_train,
                     optimizer=task.optimizer, epochs=n_ep, batch_size=batch_size,
                     drop_last=True, val_fn=task.val_fn, val_data_stack=va_d,
+                    mesh=mesh,
                 )
                 for i, s in enumerate(seeds):
                     p_i = jax.tree.map(lambda a: a[i], res_m.params)
@@ -261,6 +267,7 @@ def main(argv=None):
                 rng=k_train, params=params, loss_fn=loss_fn, data={"xs": xs_tr},
                 n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
                 batch_size=batch_size, drop_last=True,
+                mesh=mesh, tp_hidden_dim=C("dmvae.hidden_dim", 512),
             )
             dmvae_params = res.params
             save_checkpoint(
@@ -298,6 +305,7 @@ def main(argv=None):
                 optimizer=task.optimizer, epochs=fusion_epochs,
                 batch_size=batch_size, drop_last=True,
                 val_fn=task.val_fn, val_data=probe_val,
+                mesh=mesh, tp_hidden_dim=tuple(C("dmvae_fusion.hidden_dim", (128,)))[0],
             )
             log_training_csv(f"dmvae_fusion_seed{seed}_dep{dep}", res_p)
             rows[seed][dep]["dmvae_cml"] = evaluate_subjective_model_with_shared(
@@ -325,6 +333,7 @@ def main(argv=None):
                     optimizer=lf.optimizer, epochs=late_epochs,
                     batch_size=batch_size, drop_last=True,
                     val_fn=lf.val_fn, val_data=lf_val,
+                    mesh=mesh, tp_hidden_dim=tuple(C("latefusion.hidden_dim", (128,)))[0],
                 )
                 log_training_csv(f"late_fusion_seed{seed}_dep{dep}_agg{agg}", res_lf)
                 rows[seed][dep][label] = evaluate_subjective_model(lf, res_lf.params, lf_val)

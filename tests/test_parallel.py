@@ -96,6 +96,86 @@ def test_sharded_dmvae_grads_match_replicated():
 
 
 @needs_8
+def test_train_many_on_mesh_matches_unsharded():
+    """train_many(mesh=...) shards the instance axis over 'data' and
+    reproduces the unsharded vmapped run bit-for-bit — through the REAL
+    production task (build_probe_task) rather than a bespoke step."""
+    from disentagled_multimodal_fusion_tpu.core.tasks import build_probe_task
+    from disentagled_multimodal_fusion_tpu.core.train import train_many
+
+    S, B, N, D, C = 8, 48, 2, 6, 4
+    rng = np.random.default_rng(1)
+    data = {
+        "zc": jnp.asarray(rng.standard_normal((S, B, D)).astype(np.float32)),
+        "zp": jnp.asarray(rng.standard_normal((S, B, N, D)).astype(np.float32)),
+        "y": jnp.asarray(rng.integers(0, C, (S, B))),
+    }
+    tasks = [
+        build_probe_task(
+            rng=jax.random.PRNGKey(s), num_modalities=N, num_classes=C,
+            input_dim=D, hidden_dim=(16,), lr=3e-3, dropout=0.0,
+            annealing_start=5, aggregation="cml", fused=1.0, num_epochs=4,
+        )
+        for s in range(S)
+    ]
+    params_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *[t.params for t in tasks])
+    kwargs = dict(
+        rngs=jnp.stack([jax.random.PRNGKey(100 + s) for s in range(S)]),
+        loss_fn=tasks[0].loss_fn, data_stack=data, n_train=B,
+        optimizer=tasks[0].optimizer, epochs=4, batch_size=16,
+        val_fn=tasks[0].val_fn, val_data_stack=data,
+    )
+    res_plain = train_many(params_stack=params_stack, **kwargs)
+    mesh = make_mesh(8, model_parallel=1)
+    res_mesh = train_many(params_stack=params_stack, mesh=mesh, **kwargs)
+    for a, b in zip(jax.tree.leaves(res_plain.params), jax.tree.leaves(res_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_plain.val_acc), np.asarray(res_mesh.val_acc), rtol=1e-6
+    )
+    # instance count not divisible by the data axis -> clear error
+    with pytest.raises(ValueError, match="must divide"):
+        train_many(
+            params_stack=jax.tree.map(lambda a: a[:6], params_stack),
+            rngs=kwargs["rngs"][:6], loss_fn=tasks[0].loss_fn,
+            data_stack=jax.tree.map(lambda a: a[:6], data), n_train=B,
+            optimizer=tasks[0].optimizer, epochs=2, batch_size=16, mesh=mesh,
+        )
+
+
+@needs_8
+def test_train_dp_tp_through_real_dmvae_task():
+    """dp+tp (mesh 4x2, tp_hidden_dim) through core.train.train on the real
+    build_dmvae_task matches the single-device run."""
+    from disentagled_multimodal_fusion_tpu.core.tasks import build_dmvae_task
+    from disentagled_multimodal_fusion_tpu.core.train import train
+
+    rng = np.random.default_rng(2)
+    dims = (12, 8)
+    hidden = 32
+    xs = tuple(jnp.asarray(rng.standard_normal((64, d)).astype(np.float32)) for d in dims)
+    model, params, loss_fn, opt, bstats = build_dmvae_task(
+        rng=jax.random.PRNGKey(0), xs_sample=xs, output_dim=dims,
+        a=1e-5, hidden_dim=hidden, embed_dim=4, lr=1e-3, num_epochs=5,
+        fused_modalities=True,
+    )
+    kwargs = dict(
+        rng=jax.random.PRNGKey(1), loss_fn=loss_fn, data={"xs": xs},
+        n_train=64, optimizer=opt, epochs=5, batch_size=16,
+        model_state=bstats, donate=False,
+    )
+    res_single = train(params=params, **kwargs)
+    mesh = make_mesh(8, model_parallel=2)
+    res_mesh = train(params=params, mesh=mesh, tp_hidden_dim=hidden, **kwargs)
+    for a, b in zip(jax.tree.leaves(res_single.params), jax.tree.leaves(res_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_single.train_loss), np.asarray(res_mesh.train_loss),
+        rtol=1e-3, atol=1e-6,
+    )
+
+
+@needs_8
 def test_train_with_data_parallel_mesh_matches_single_device():
     """train(mesh=...) shards the dataset rows over 'data' and reproduces
     the single-device run (jit inserts the grad all-reduce)."""

@@ -1,16 +1,23 @@
-"""Cross-framework parity harness.
+"""Cross-framework parity harness — full six-model protocol.
 
-Trains plain-torch models that use the REFERENCE'S OWN loss/activation code
-(imported from /root/reference — losses.py and utils.py are torch-only) and
-compares end metrics against this framework's models on identical data:
+Trains plain-torch models that use the REFERENCE'S OWN loss/activation/
+fusion code (imported from /root/reference — losses.py and utils.py are
+torch-only) and compares end metrics against this framework's models on
+identical data and identical frozen-DMVAE embeddings:
 
-  1. LateFusion(cml) on raw HandWritten views (torch heads + reference
-     AvgTrustedLoss/activation vs our jitted task), identical split.
-  2. EvidentialProbe(cml) on OUR frozen-DMVAE embeddings (isolates the
-     probe stack: EDL loss + AdamW + cosine schedule parity).
+  dmvae_dis    private-only probe, cml     (evidential_probe.py:214-408)
+  dmvae_cml    shared+private probe, cml   (evidential_probe.py:11-212)
+  dmvae_joint  shared+private probe, joint (utils.py:81-86)
+  dbf_fusion   LateFusion dbf on raw views (baselines.py + utils.py:88-116)
+  cml_fusion   LateFusion cml on raw views
+  avg_fusion   LateFusion avg on raw views
 
-Run: python tools/parity_check.py [--epochs 200]
-Writes results to stdout and results/parity_check.json.
+Run:
+  python tools/parity_check.py --dataset HandWritten --seeds 0 1 2 3 4
+  python tools/parity_check.py --dataset synthetic --deps 50   # dep cell
+Writes results/parity_check_<dataset>.json: per-seed metrics both sides,
+means, gaps, and the torch per-seed spread (to judge whether a gap sits
+inside seed noise).
 
 This substitutes for running the reference end-to-end (pytorch_lightning
 is not installed in this image): everything Lightning adds is plumbing;
@@ -30,6 +37,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+METRICS = ["accuracy", "ece", "epistemic_mean", "aleatoric_mean"]
+
 
 def load_ref(name, rel):
     spec = importlib.util.spec_from_file_location(name, Path("/root/reference") / rel)
@@ -41,9 +50,14 @@ def load_ref(name, rel):
 def torch_heads_fit(
     views_tr, y_tr, views_te, y_te, num_classes, *, lr, annealing_start,
     epochs, batch, hidden, dropout, optimizer, schedule, seed=0, agg="cml",
+    weight_decay=None, plateau_patience=10, fused=1,
 ):
     """Reference-math multi-view evidential heads (baselines.py:12-150 /
-    evidential_probe.py:87-212 math without the Lightning wrapper)."""
+    evidential_probe.py:87-408 math without the Lightning wrapper).
+
+    agg: cml | avg | joint | dbf (reference utils.py:66-116). For the
+    disentangled probe pass only the private views with agg='cml'.
+    """
     import torch
     import torch.nn as nn
 
@@ -67,52 +81,60 @@ def torch_heads_fit(
         heads.append(h)
 
     if optimizer == "adamw":
-        opt = torch.optim.AdamW(heads.parameters(), lr=lr, weight_decay=1e-4)
+        kw = {} if weight_decay is None else {"weight_decay": weight_decay}
+        opt = torch.optim.AdamW(heads.parameters(), lr=lr, **kw)
     else:
         opt = torch.optim.Adam(heads.parameters(), lr=lr)
     if schedule == "cosine":
         sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs, eta_min=1e-6)
     else:
         sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
-            opt, mode="min", factor=0.1, patience=10
+            opt, mode="min", factor=0.1, patience=plateau_patience
         )
     crit = L.AvgTrustedLoss(num_views=v, annealing_start=annealing_start)
-    agg_fn = {"cml": U.get_cml_fusion, "avg": U.get_avg_fusion}[agg]
+    agg_fn = {
+        "cml": U.get_cml_fusion,
+        "avg": U.get_avg_fusion,
+        "joint": U.get_joint_fusion,
+        "dbf": U.discounted_belief_fusion,
+    }[agg]
     n = len(y_tr)
+
+    def all_evidences(xs, rows=None):
+        return torch.stack(
+            [
+                U.activation_function(
+                    heads[i](xs[i] if rows is None else xs[i][rows]), "exp"
+                )
+                for i in range(v)
+            ],
+            dim=1,
+        )
 
     for _ in range(epochs):
         perm = torch.randperm(n)
         heads.train()
         for s0 in range(0, n, batch):
             b = perm[s0 : s0 + batch]
-            ev = torch.stack(
-                [U.activation_function(heads[i](xs_tr[i][b]), "exp") for i in range(v)],
-                dim=1,
-            )
-            loss = crit(ev, yt[b], agg_fn(ev), fused=1)
+            ev = all_evidences(xs_tr, b)
+            loss = crit(ev, yt[b], agg_fn(ev), fused=fused)
             opt.zero_grad()
             loss.backward()
             opt.step()
         crit.annealing_step += 1
         heads.eval()
         with torch.no_grad():
-            ev = torch.stack(
-                [U.activation_function(heads[i](xs_te[i]), "exp") for i in range(v)],
-                dim=1,
-            )
-            vloss = crit(ev, ye, agg_fn(ev), fused=1)
+            ev = all_evidences(xs_te)
+            vloss = crit(ev, ye, agg_fn(ev), fused=fused)
         if schedule == "cosine":
             sch.step()
         else:
             sch.step(vloss.item())
 
     with torch.no_grad():
-        ev = torch.stack(
-            [U.activation_function(heads[i](xs_te[i]), "exp") for i in range(v)], dim=1
-        )
-        fused = agg_fn(ev)
-        acc = (fused.argmax(1) == ye).float().mean().item()
-        alphas = fused + 1
+        fused_ev = agg_fn(all_evidences(xs_te))
+        acc = (fused_ev.argmax(1) == ye).float().mean().item()
+        alphas = fused_ev + 1
         s = alphas.sum(-1, keepdim=True)
         epi = (num_classes / s).mean().item()
         ale = (
@@ -130,151 +152,238 @@ def torch_heads_fit(
     return {"accuracy": acc, "ece": ece, "epistemic_mean": epi, "aleatoric_mean": ale}
 
 
-def main():
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--epochs", type=int, default=200)
-    parser.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2])
-    parser.add_argument("--dataset", default="HandWritten")
-    parser.add_argument("--out", default=None)
-    args = parser.parse_args()
+def ours_metrics(info):
+    return {
+        "accuracy": info["fused"]["accuracy"],
+        "ece": info["fused"]["ece"],
+        "epistemic_mean": info["fused"]["epistemic_mean"],
+        "aleatoric_mean": info["fused"]["aleatoric_mean"],
+    }
 
-    from disentagled_multimodal_fusion_tpu.core.setup import configure
 
-    configure()
+def run_seed(seed, *, dataset, epochs, dep, models, out):
+    """One parity seed: identical split + identical frozen embeddings,
+    six reference-math torch fits vs six of our jitted tasks."""
     import jax
     import jax.numpy as jnp
 
     from disentagled_multimodal_fusion_tpu.core.tasks import (
+        build_disentangled_probe_task,
         build_dmvae_task,
         build_late_fusion_task,
         build_probe_task,
         embed_dataset,
     )
     from disentagled_multimodal_fusion_tpu.core.train import train
-    from disentagled_multimodal_fusion_tpu.data.multiview import DATASET_REGISTRY
     from disentagled_multimodal_fusion_tpu.eval.analysis import (
         evaluate_subjective_model,
         evaluate_subjective_model_with_shared,
     )
 
-    out = {"late_fusion_cml": {"torch": [], "ours": []},
-           "dmvae_probe_cml": {"torch": [], "ours": []}}
+    synthetic = dataset == "synthetic"
+    if synthetic:
+        from disentagled_multimodal_fusion_tpu.data.synthetic import (
+            make_simple_plus_splits,
+        )
 
-    for seed in args.seeds:
+        rho = dep / 100.0
+        _, (v_tr, ytr), (v_te, yte) = make_simple_plus_splits(
+            batch_size=128, seed=seed, rho=rho, shared_class_frac=rho,
+        )
+        views_tr, views_te = list(v_tr), list(v_te)
+        y_np_tr, y_np_te = np.asarray(ytr), np.asarray(yte)
+        num_classes = 3
+        lr, batch, annealing = 3e-4, 128, 10
+        fused_flag = 0  # run_synthetic.py uses fused=0
+        embed_dim, probe_in = 16, 16
+        dmvae_lr, dmvae_hidden, dmvae_epochs = 1e-3, 512, min(100, epochs)
+    else:
+        from disentagled_multimodal_fusion_tpu.data.multiview import DATASET_REGISTRY
+
+        ds = DATASET_REGISTRY[dataset]()
         rng_np = np.random.default_rng(seed)
-        ds = DATASET_REGISTRY[args.dataset]()
         idx = rng_np.permutation(len(ds))
         n_tr = int(0.8 * len(ds))
         tr, te = idx[:n_tr], idx[n_tr:]
         views, y = ds.arrays()
         views_tr = [v[tr] for v in views]
         views_te = [v[te] for v in views]
-        dims = [int(d[0]) for d in ds.dims]
-        xs_tr = tuple(jnp.asarray(v) for v in views_tr)
-        xs_te = tuple(jnp.asarray(v) for v in views_te)
-        y_tr, y_te = jnp.asarray(y[tr]), jnp.asarray(y[te])
+        y_np_tr, y_np_te = y[tr], y[te]
+        num_classes = ds.num_classes
+        lr = {"CalTech": 3e-4, "Scene": 0.01, "CUB": 3e-3, "HandWritten": 3e-3,
+              "PIE": 3e-3}[dataset]
+        batch, annealing = 100, 50
+        fused_flag = 1
+        embed_dim, probe_in = 200, 200
+        dmvae_lr, dmvae_hidden, dmvae_epochs = 1e-4, 512, min(100, epochs)
 
-        # ---------------- 1) LateFusion(cml) on raw views ----------------
-        t0 = time.time()
-        ref = torch_heads_fit(
-            views_tr, y[tr], views_te, y[te], ds.num_classes,
-            lr=3e-3, annealing_start=50, epochs=args.epochs, batch=100,
-            hidden=128, dropout=0.1, optimizer="adam", schedule="plateau",
-            seed=seed,
-        )
-        t_torch = time.time() - t0
-        task = build_late_fusion_task(
-            rng=jax.random.PRNGKey(seed), output_dims=dims,
-            num_classes=ds.num_classes, hidden_dim=(128,), dropout=0.1,
-            lr=3e-3, annealing_start=50, aggregation="cml", fused=1.0,
-        )
-        t0 = time.time()
+    dims = [v.shape[1] for v in views_tr]
+    n_train = len(y_np_tr)
+    xs_tr = tuple(jnp.asarray(v) for v in views_tr)
+    xs_te = tuple(jnp.asarray(v) for v in views_te)
+    y_tr, y_te = jnp.asarray(y_np_tr), jnp.asarray(y_np_te)
+
+    # ---- shared frozen backbone: OUR DMVAE, embeddings used by BOTH sides
+    model, params, loss_fn, opt, _ = build_dmvae_task(
+        rng=jax.random.PRNGKey(seed), xs_sample=xs_tr, output_dim=dims,
+        a=1e-5, hidden_dim=dmvae_hidden, embed_dim=embed_dim, lr=dmvae_lr,
+        num_epochs=dmvae_epochs,
+    )
+    res_b = train(
+        rng=jax.random.PRNGKey(seed + 200), params=params, loss_fn=loss_fn,
+        data={"xs": xs_tr}, n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
+        batch_size=batch, drop_last=synthetic,
+    )
+    zc_tr, zp_tr = embed_dataset(model, res_b.params, xs_tr)
+    zc_te, zp_te = embed_dataset(model, res_b.params, xs_te)
+    emb_tr = [np.asarray(zc_tr)] + [np.asarray(zp_tr[:, i]) for i in range(len(dims))]
+    emb_te = [np.asarray(zc_te)] + [np.asarray(zp_te[:, i]) for i in range(len(dims))]
+    probe_tr = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
+    probe_te = {"zc": zc_te, "zp": zp_te, "y": y_te}
+    lf_tr = {"xs": xs_tr, "y": y_tr}
+    lf_te = {"xs": xs_te, "y": y_te}
+
+    def fit_ours(task, tr_d, te_d, with_shared):
         res = train(
-            rng=jax.random.PRNGKey(seed + 100), params=task.params,
-            loss_fn=task.loss_fn, data={"xs": xs_tr, "y": y_tr},
-            n_train=n_tr, optimizer=task.optimizer, epochs=args.epochs,
-            batch_size=100, val_fn=task.val_fn,
-            val_data={"xs": xs_te, "y": y_te},
-        )
-        t_ours = time.time() - t0
-        ours = evaluate_subjective_model(task, res.params, {"xs": xs_te, "y": y_te})
-        out["late_fusion_cml"]["torch"].append(ref)
-        out["late_fusion_cml"]["ours"].append({
-            "accuracy": ours["fused"]["accuracy"],
-            "ece": ours["fused"]["ece"],
-            "epistemic_mean": ours["fused"]["epistemic_mean"],
-            "aleatoric_mean": ours["fused"]["aleatoric_mean"],
-        })
-        print(f"[seed {seed}] late_fusion_cml: torch acc {ref['accuracy']:.4f} "
-              f"({t_torch:.0f}s) vs ours {ours['fused']['accuracy']:.4f} "
-              f"({t_ours:.1f}s)", flush=True)
-
-        # ------------- 2) Probe(cml) on OUR frozen embeddings -------------
-        model, params, loss_fn, opt, _ = build_dmvae_task(
-            rng=jax.random.PRNGKey(seed), xs_sample=xs_tr, output_dim=dims,
-            a=1e-5, hidden_dim=512, embed_dim=200, lr=1e-4, num_epochs=100,
-        )
-        res_b = train(
-            rng=jax.random.PRNGKey(seed + 200), params=params, loss_fn=loss_fn,
-            data={"xs": xs_tr}, n_train=n_tr, optimizer=opt, epochs=100,
-            batch_size=100,
-        )
-        zc_tr, zp_tr = embed_dataset(model, res_b.params, xs_tr)
-        zc_te, zp_te = embed_dataset(model, res_b.params, xs_te)
-        # torch probe: shared + private heads == multi-view heads over
-        # [zc, zp_0..zp_{N-1}]
-        emb_tr = [np.asarray(zc_tr)] + [np.asarray(zp_tr[:, i]) for i in range(len(dims))]
-        emb_te = [np.asarray(zc_te)] + [np.asarray(zp_te[:, i]) for i in range(len(dims))]
-        ref = torch_heads_fit(
-            emb_tr, y[tr], emb_te, y[te], ds.num_classes,
-            lr=3e-3, annealing_start=50, epochs=args.epochs, batch=100,
-            hidden=128, dropout=0.1, optimizer="adamw", schedule="cosine",
-            seed=seed,
-        )
-        task = build_probe_task(
-            rng=jax.random.PRNGKey(seed + 5), num_modalities=len(dims),
-            num_classes=ds.num_classes, input_dim=200, hidden_dim=(128,),
-            lr=3e-3, dropout=0.1, annealing_start=50, aggregation="cml",
-            fused=1.0, num_epochs=args.epochs,
-        )
-        probe_tr = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
-        probe_te = {"zc": zc_te, "zp": zp_te, "y": y_te}
-        res_p = train(
             rng=jax.random.PRNGKey(seed + 300), params=task.params,
-            loss_fn=task.loss_fn, data=probe_tr, n_train=n_tr,
-            optimizer=task.optimizer, epochs=args.epochs, batch_size=100,
-            val_fn=task.val_fn, val_data=probe_te,
+            loss_fn=task.loss_fn, data=tr_d, n_train=n_train,
+            optimizer=task.optimizer, epochs=epochs, batch_size=batch,
+            drop_last=synthetic, val_fn=task.val_fn, val_data=te_d,
         )
-        ours = evaluate_subjective_model_with_shared(task, res_p.params, probe_te)
-        out["dmvae_probe_cml"]["torch"].append(ref)
-        out["dmvae_probe_cml"]["ours"].append({
-            "accuracy": ours["fused"]["accuracy"],
-            "ece": ours["fused"]["ece"],
-            "epistemic_mean": ours["fused"]["epistemic_mean"],
-            "aleatoric_mean": ours["fused"]["aleatoric_mean"],
-        })
-        print(f"[seed {seed}] dmvae_probe_cml: torch acc {ref['accuracy']:.4f} "
-              f"vs ours {ours['fused']['accuracy']:.4f}", flush=True)
+        ev = (evaluate_subjective_model_with_shared if with_shared
+              else evaluate_subjective_model)
+        return ours_metrics(ev(task, res.params, te_d))
 
+    jobs = {}
+    # 1) dmvae_dis — private-only probe: AdamW(default wd) + plateau(0.1, 5)
+    jobs["dmvae_dis"] = (
+        lambda: torch_heads_fit(
+            emb_tr[1:], y_np_tr, emb_te[1:], y_np_te, num_classes,
+            lr=lr, annealing_start=annealing, epochs=epochs, batch=batch,
+            hidden=128, dropout=0.1, optimizer="adamw", schedule="plateau",
+            plateau_patience=5, seed=seed, agg="cml", fused=fused_flag,
+        ),
+        lambda: fit_ours(
+            build_disentangled_probe_task(
+                rng=jax.random.PRNGKey(seed + 5), num_modalities=len(dims),
+                num_classes=num_classes, input_dim=probe_in, hidden_dim=(128,),
+                lr=lr, dropout=0.1, annealing_start=annealing,
+                aggregation="cml", num_epochs=epochs,
+            ),
+            probe_tr, probe_te, with_shared=False,
+        ),
+    )
+    # 2-3) shared+private probe, cml and joint: AdamW(1e-4) + cosine
+    for agg in ("cml", "joint"):
+        jobs[f"dmvae_{agg}"] = (
+            (lambda agg=agg: torch_heads_fit(
+                emb_tr, y_np_tr, emb_te, y_np_te, num_classes,
+                lr=lr, annealing_start=annealing, epochs=epochs, batch=batch,
+                hidden=128, dropout=0.1, optimizer="adamw", schedule="cosine",
+                weight_decay=1e-4, seed=seed, agg=agg, fused=fused_flag,
+            )),
+            (lambda agg=agg: fit_ours(
+                build_probe_task(
+                    rng=jax.random.PRNGKey(seed + 5), num_modalities=len(dims),
+                    num_classes=num_classes, input_dim=probe_in, hidden_dim=(128,),
+                    lr=lr, dropout=0.1, annealing_start=annealing,
+                    aggregation=agg, fused=float(fused_flag), num_epochs=epochs,
+                ),
+                probe_tr, probe_te, with_shared=True,
+            )),
+        )
+    # 4-6) LateFusion dbf/cml/avg on raw views: Adam + plateau(0.1, 10)
+    for agg in ("dbf", "cml", "avg"):
+        jobs[f"{agg}_fusion"] = (
+            (lambda agg=agg: torch_heads_fit(
+                views_tr, y_np_tr, views_te, y_np_te, num_classes,
+                lr=lr, annealing_start=annealing, epochs=epochs, batch=batch,
+                hidden=128, dropout=0.1, optimizer="adam", schedule="plateau",
+                plateau_patience=10, seed=seed, agg=agg, fused=fused_flag,
+            )),
+            (lambda agg=agg: fit_ours(
+                build_late_fusion_task(
+                    rng=jax.random.PRNGKey(seed), output_dims=dims,
+                    num_classes=num_classes, hidden_dim=(128,), dropout=0.1,
+                    lr=lr, annealing_start=annealing, aggregation=agg,
+                    fused=float(fused_flag),
+                ),
+                lf_tr, lf_te, with_shared=False,
+            )),
+        )
+
+    for name, (torch_fn, ours_fn) in jobs.items():
+        if models and name not in models:
+            continue
+        t0 = time.time()
+        ref = torch_fn()
+        t_torch = time.time() - t0
+        t0 = time.time()
+        ours = ours_fn()
+        t_ours = time.time() - t0
+        out.setdefault(name, {"torch": [], "ours": []})
+        out[name]["torch"].append(ref)
+        out[name]["ours"].append(ours)
+        print(
+            f"[seed {seed}] {name}: torch acc {ref['accuracy']:.4f} "
+            f"({t_torch:.0f}s) vs ours {ours['accuracy']:.4f} ({t_ours:.1f}s) | "
+            f"ece {ref['ece']:.4f} vs {ours['ece']:.4f}", flush=True,
+        )
+
+
+def summarize(out):
     summary = {}
     for k, d in out.items():
         summary[k] = {
-            side: {
-                m: float(np.mean([r[m] for r in runs]))
-                for m in ["accuracy", "ece", "epistemic_mean", "aleatoric_mean"]
-            }
+            side: {m: float(np.mean([r[m] for r in runs])) for m in METRICS}
             for side, runs in d.items()
         }
-        summary[k]["accuracy_gap"] = abs(
-            summary[k]["torch"]["accuracy"] - summary[k]["ours"]["accuracy"]
+        for m in ("accuracy", "ece"):
+            summary[k][f"{m}_gap"] = abs(
+                summary[k]["torch"][m] - summary[k]["ours"][m]
+            )
+            summary[k][f"{m}_torch_seed_std"] = float(
+                np.std([r[m] for r in d["torch"]])
+            )
+    return summary
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2, 3, 4])
+    parser.add_argument("--dataset", default="HandWritten",
+                        help="HandWritten | CUB | PIE | Scene | synthetic")
+    parser.add_argument("--dep", type=int, default=50,
+                        help="synthetic dependence knob (synthetic only)")
+    parser.add_argument("--models", type=str, nargs="*", default=None,
+                        help="subset of the 6 model names")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    from disentagled_multimodal_fusion_tpu.core.setup import configure
+
+    configure()
+
+    if args.dataset == "synthetic" and args.models is None:
+        # the reference synthetic protocol trains exactly these three
+        # (run_synthetic.py:139-229), all with fused=0
+        args.models = ["dmvae_cml", "cml_fusion", "avg_fusion"]
+
+    out = {}
+    for seed in args.seeds:
+        run_seed(
+            seed, dataset=args.dataset, epochs=args.epochs, dep=args.dep,
+            models=args.models, out=out,
         )
-        summary[k]["ece_gap"] = abs(
-            summary[k]["torch"]["ece"] - summary[k]["ours"]["ece"]
-        )
+        # incremental write: long runs survive interruption
+        summary = summarize(out)
+        Path("results").mkdir(exist_ok=True)
+        tag = (f"{args.dataset.lower()}_dep{args.dep}" if args.dataset == "synthetic"
+               else args.dataset.lower())
+        dest = args.out or f"results/parity_check_{tag}.json"
+        Path(dest).write_text(json.dumps({"per_seed": out, "summary": summary}, indent=1))
     print(json.dumps(summary, indent=1))
-    Path("results").mkdir(exist_ok=True)
-    dest = args.out or f"results/parity_check_{args.dataset.lower()}.json"
-    Path(dest).write_text(json.dumps({"per_seed": out, "summary": summary}, indent=1))
 
 
 if __name__ == "__main__":
