@@ -62,6 +62,14 @@ class EvidentialTask(NamedTuple):
     model_state: Any = None
 
 
+def _norm_dtype(dtype):
+    """Accept None / jnp dtype / string ('bfloat16'); losses stay f32
+    regardless (ops/dirichlet.py pins f32), only matmul compute changes."""
+    if dtype is None or dtype == "float32":
+        return None
+    return jnp.dtype(dtype) if isinstance(dtype, str) else dtype
+
+
 def _acc(evidence_a: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.mean((jnp.argmax(evidence_a, axis=-1) == y).astype(jnp.float32))
 
@@ -100,12 +108,14 @@ def build_dmvae_task(
     lambda_per_modality: Optional[Sequence[float]] = None,
     feature_encoders: Optional[Tuple] = None,
     fused_modalities: bool = False,
+    dtype=None,
 ):
     """DMVAE backbone + its train-loss closure (reference: run.py:135-146).
 
     ``fused_modalities=True`` selects FusedDMVAE (modality-stacked einsum
     encoders/decoders — same math, ~N x fewer kernels; see
-    models/dmvae_fused.py)."""
+    models/dmvae_fused.py). ``dtype='bfloat16'`` runs the encoder/decoder
+    matmuls on the MXU in bf16; params, VAE stats, and losses stay f32."""
     cls = FusedDMVAE if fused_modalities else DMVAE
     model = cls(
         x_dims=tuple(output_dim),
@@ -117,6 +127,7 @@ def build_dmvae_task(
         cross_weight=cross_weight,
         lambda_per_modality=tuple(lambda_per_modality) if lambda_per_modality else None,
         feature_encoders=feature_encoders,
+        dtype=_norm_dtype(dtype),
     )
     k_init, k_noise = jax.random.split(rng)
     xs_small = [x[:2] for x in xs_sample]
@@ -195,6 +206,7 @@ def build_probe_task(
     num_epochs: int = 200,
     shared_input_dim: Optional[int] = None,
     fused_heads: bool = True,
+    dtype=None,
 ) -> EvidentialTask:
     """Shared+private evidential probe (evidential_probe.py:11-212).
 
@@ -212,6 +224,7 @@ def build_probe_task(
         hidden_dim=tuple(hidden_dim),
         dropout=dropout,
         shared_input_dim=shared_input_dim,
+        dtype=_norm_dtype(dtype),
     )
     agg = AGGREGATIONS[aggregation]
     zc0 = jnp.zeros((2, shared_input_dim or input_dim))
@@ -270,6 +283,7 @@ def build_disentangled_probe_task(
     aggregation: str = "cml",
     num_epochs: int = 200,
     fused_heads: bool = True,
+    dtype=None,
 ) -> EvidentialTask:
     """Private-only probe (evidential_probe.py:214-408)."""
     if aggregation not in ("cml", "avg"):
@@ -281,6 +295,7 @@ def build_disentangled_probe_task(
         input_dim=input_dim,
         hidden_dim=tuple(hidden_dim),
         dropout=dropout,
+        dtype=_norm_dtype(dtype),
     )
     agg = AGGREGATIONS[aggregation]
     zp0 = [jnp.zeros((2, input_dim))] * num_modalities
@@ -337,6 +352,7 @@ def build_late_fusion_task(
     feature_encoders: Optional[Tuple] = None,
     input_dims: Optional[Sequence[int]] = None,
     fused_heads: bool = True,
+    dtype=None,
 ) -> EvidentialTask:
     """Per-view evidential heads on raw views (baselines.py:12-150).
 
@@ -354,6 +370,7 @@ def build_late_fusion_task(
         hidden_dim=tuple(hidden_dim),
         dropout=dropout,
         feature_encoders=feature_encoders,
+        dtype=_norm_dtype(dtype),
     )
     agg = AGGREGATIONS[aggregation]
     xs0 = [jnp.zeros((2, d)) for d in (input_dims or output_dims)]

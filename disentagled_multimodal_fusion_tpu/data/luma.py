@@ -180,6 +180,17 @@ class LUMADataset:
 
     # -------------------------------------------------------- featurization
     def _get_tokenizer(self):
+        """Resolve the BERT tokenizer, in strict parity order:
+
+        1. transformers AutoTokenizer (network / HF cache) — exactly the
+           reference path (dataset_luma.py:99-103).
+        2. The vendored offline WordPiece tokenizer over a local vocab.txt
+           (data/wordpiece.py; algorithm verified bit-identical to
+           transformers.BertTokenizer) — reference-identical token-IDs with
+           zero egress, given the genuine vocab file.
+        3. Hash fallback (reference dataset_luma.py:325-333) — features
+           DIVERGE from the reference; warn loudly.
+        """
         if self._tokenizer is None and self.text_config.get("use_pretrained", True):
             try:
                 from transformers import AutoTokenizer
@@ -188,19 +199,38 @@ class LUMADataset:
                     self.text_config["model_name"], local_files_only=False
                 )
             except Exception:
-                warnings.warn(
-                    "pretrained tokenizer unavailable (offline?); using hash fallback"
-                )
-                self._tokenizer = False
+                from .wordpiece import WordPieceTokenizer, find_local_vocab
+
+                vocab = find_local_vocab(self.text_config.get("vocab_file"))
+                if vocab is not None:
+                    self._tokenizer = WordPieceTokenizer.from_vocab_file(vocab)
+                    print(f"[luma] offline WordPiece tokenizer: {vocab} "
+                          f"({self._tokenizer.vocab_size} tokens)", flush=True)
+                else:
+                    warnings.warn(
+                        "LUMA TEXT FEATURES DIVERGE FROM THE REFERENCE: no "
+                        "network, no HF cache, and no vendored BERT vocab "
+                        "found — falling back to hash token-IDs. Vendor the "
+                        "bert-base-uncased vocab at "
+                        "data/bert-base-uncased-vocab.txt (or set "
+                        "text.vocab_file) for reference-identical features.",
+                        stacklevel=2,
+                    )
+                    self._tokenizer = False
         return self._tokenizer or None
 
     def _featurize_text(self) -> np.ndarray:
+        from .wordpiece import WordPieceTokenizer
+
         max_len = self.text_config["max_length"]
         tok = self._get_tokenizer()
         out = np.zeros((len(self.samples), max_len), np.float32)
         for i, s in enumerate(self.samples):
             text = str(self.text_df.loc[s["text_idx"], "text"])
-            if tok is not None:
+            if isinstance(tok, WordPieceTokenizer):
+                ids = np.asarray(tok.encode(text, max_len), np.float32)
+                out[i] = ids / tok.vocab_size
+            elif tok is not None:
                 enc = tok(
                     text, max_length=max_len, padding="max_length",
                     truncation=True, return_tensors="np",

@@ -99,6 +99,7 @@ class FusedLateFusion(nn.Module):
     hidden_dim: Sequence[int] = (32,)
     dropout: float = 0.3
     feature_encoders: Optional[Tuple[nn.Module, ...]] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -117,5 +118,6 @@ class FusedLateFusion(nn.Module):
         h = StackedMLP(
             in_dims=tuple(self.output_dims), hidden=tuple(self.hidden_dim),
             out_dims=(self.num_classes,) * n, dropout=self.dropout,
+            dtype=self.dtype,
         )(x, train=train)
         return evidence_activation(h.astype(jnp.float32))

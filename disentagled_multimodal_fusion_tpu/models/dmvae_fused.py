@@ -83,6 +83,7 @@ class StackedMLP(nn.Module):
     out_dims: Sequence[int]     # true per-modality output widths
     dropout: float = 0.0
     initialization: str = "xavier"
+    dtype: Any = None           # compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -94,7 +95,8 @@ class StackedMLP(nn.Module):
             else list(self.hidden)
         )
 
-        y = x
+        cast = (lambda a: a.astype(self.dtype)) if self.dtype is not None else (lambda a: a)
+        y = cast(x)
         in_dims, d_in = list(self.in_dims), pad_in
         for li, h in enumerate(hiddens):
             w = self.param(
@@ -103,7 +105,7 @@ class StackedMLP(nn.Module):
                 (n, d_in, h), jnp.float32,
             )
             b = self.param(f"b{li + 1}", _stacked_bias_init(in_dims), (n, h), jnp.float32)
-            y = jnp.einsum("...nd,ndh->...nh", y, w) + b
+            y = jnp.einsum("...nd,ndh->...nh", y, cast(w)) + cast(b)
             y = nn.relu(y)
             if self.dropout > 0:
                 y = nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -118,7 +120,9 @@ class StackedMLP(nn.Module):
         # NOTE: output slices are drawn at width pad_out (vs out_dims[i] in
         # the unfused model) — same family, marginally different xavier
         # bound; parity is statistical (BASELINE.md).
-        return jnp.einsum("...nh,nho->...no", y, w) + b
+        # Output returns to f32 so the VAE stats/KL/MSE stay full precision.
+        out = jnp.einsum("...nh,nho->...no", y, cast(w)) + cast(b)
+        return out.astype(jnp.float32)
 
 
 class FusedDMVAE(nn.Module):
@@ -134,6 +138,7 @@ class FusedDMVAE(nn.Module):
     lambda_per_modality: Optional[Sequence[float]] = None
     initialization: str = "xavier"
     feature_encoders: Optional[Tuple[nn.Module, ...]] = None
+    dtype: Any = None
 
     @property
     def N(self) -> int:
@@ -149,12 +154,12 @@ class FusedDMVAE(nn.Module):
         self.encoder = StackedMLP(
             in_dims=tuple(self.x_dims), hidden=self.hidden_dim,
             out_dims=(4 * self.embed_dim,) * n, dropout=self.dropout,
-            initialization=self.initialization,
+            initialization=self.initialization, dtype=self.dtype,
         )
         self.decoder = StackedMLP(
             in_dims=(2 * self.embed_dim,) * n, hidden=self.hidden_dim,
             out_dims=tuple(self.x_dims), dropout=self.dropout,
-            initialization=self.initialization,
+            initialization=self.initialization, dtype=self.dtype,
         )
 
     # ---------- helpers ----------

@@ -105,6 +105,7 @@ class FusedEvidentialProbe(nn.Module):
     hidden_dim: Sequence[int] = (32,)
     dropout: float = 0.3
     shared_input_dim: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, zc, zp_list, train: bool = False):
@@ -122,6 +123,7 @@ class FusedEvidentialProbe(nn.Module):
         h = StackedMLP(
             in_dims=in_dims, hidden=tuple(self.hidden_dim),
             out_dims=(self.num_classes,) * len(in_dims), dropout=self.dropout,
+            dtype=self.dtype,
         )(x, train=train)
         return evidence_activation(h.astype(jnp.float32))
 
@@ -134,6 +136,7 @@ class FusedDisentangledEvidentialProbe(nn.Module):
     input_dim: int
     hidden_dim: Sequence[int] = (32,)
     dropout: float = 0.3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, zp_list, train: bool = False):
@@ -145,6 +148,6 @@ class FusedDisentangledEvidentialProbe(nn.Module):
             in_dims=(self.input_dim,) * self.num_modalities,
             hidden=tuple(self.hidden_dim),
             out_dims=(self.num_classes,) * self.num_modalities,
-            dropout=self.dropout,
+            dropout=self.dropout, dtype=self.dtype,
         )(x, train=train)
         return evidence_activation(h.astype(jnp.float32))

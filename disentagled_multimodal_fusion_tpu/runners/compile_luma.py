@@ -7,21 +7,104 @@ configs/luma_compile_config.yaml, (5) run the upstream compile_dataset.py
 via subprocess with a fallback ``create_simplified_dataset`` that
 symlinks/copies raw files into the compiled layout.
 
-This environment is zero-egress, so network steps (1)-(3) become presence
-checks with actionable messages; step (5)'s fallback layout builder is
-implemented natively; and a NEW offline featurization stage (the TPU-first
-replacement for per-sample decode in __getitem__) produces
-features_{train,test}.npz using the C++ featurizer where available.
+All five steps are implemented with the same sequencing as the reference:
+network steps ((1) wordnet download, (2) git clone, (5) upstream
+compile_dataset.py subprocess) run when egress is available (cheap TCP
+probe, or force-skip with --offline) and degrade to presence checks with
+actionable messages otherwise; the fallback layout builder is implemented
+natively; and a NEW offline featurization stage (the TPU-first replacement
+for per-sample decode in __getitem__) produces features_{train,test}.npz
+using the C++ featurizer where available.
 """
 
 from __future__ import annotations
 
 import argparse
 import shutil
+import subprocess
 import sys
 from pathlib import Path
 
 import yaml
+
+
+def has_network(host: str = "github.com", port: int = 443, timeout: float = 2.0) -> bool:
+    """Cheap egress probe so network steps skip cleanly offline instead of
+    hanging (the reference assumes connectivity and sys.exits on failure)."""
+    import socket
+
+    try:
+        with socket.create_connection((host, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def check_nltk_data(online: bool) -> bool:
+    """NLTK wordnet check (+ download when online) — compile_luma.py:50-69."""
+    try:
+        import nltk
+    except ImportError:
+        print("  [skip] nltk not installed (upstream compile would need it)")
+        return False
+    try:
+        nltk.data.find("corpora/wordnet.zip")
+        print("  [ok] NLTK wordnet found")
+        return True
+    except LookupError:
+        if not online:
+            print("  [skip] NLTK wordnet missing and no network to download")
+            return False
+        try:
+            nltk.download("wordnet", quiet=True)
+            nltk.data.find("corpora/wordnet.zip")
+            print("  [ok] downloaded NLTK wordnet")
+            return True
+        except Exception as e:
+            print(f"  [fail] NLTK wordnet download: {e}")
+            return False
+
+
+def check_luma_repo(online: bool, repo_dir: Path = Path("external/LUMA")):
+    """Clone bezirganyan/LUMA when online (compile_luma.py:72-92); presence
+    check otherwise. Returns the repo path or None."""
+    if repo_dir.exists():
+        print(f"  [ok] LUMA repo at {repo_dir}")
+        return repo_dir
+    if not online:
+        print(f"  [skip] LUMA repo absent at {repo_dir} and no network to clone")
+        return None
+    repo_dir.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        subprocess.run(
+            ["git", "clone", "https://github.com/bezirganyan/LUMA.git", str(repo_dir)],
+            check=True, timeout=600,
+        )
+        print(f"  [ok] cloned LUMA repo to {repo_dir}")
+        return repo_dir
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+        print(f"  [fail] git clone: {e}")
+        return None
+
+
+def run_upstream_compile(repo_dir: Path, cfg_path: Path) -> bool:
+    """Run the upstream external/LUMA/compile_dataset.py via subprocess
+    (compile_luma.py:175-215). Returns True on success; caller falls back to
+    create_simplified_dataset on failure."""
+    script = repo_dir / "compile_dataset.py"
+    if not script.exists():
+        print(f"  [skip] {script} not found in the LUMA repo")
+        return False
+    try:
+        subprocess.run(
+            [sys.executable, str(script.resolve()), "-c", str(cfg_path.resolve())],
+            check=True, cwd=Path.cwd(),
+        )
+        print("  [ok] upstream compile_dataset.py succeeded")
+        return True
+    except subprocess.CalledProcessError as e:
+        print(f"  [fail] upstream compile: {e}")
+        return False
 
 
 def check_raw_data(raw_dir: Path) -> bool:
@@ -131,28 +214,43 @@ def main(argv=None):
                         default="disentagled_multimodal_fusion_tpu/configs/luma_compile_config.yaml")
     parser.add_argument("--skip-featurize", action="store_true")
     parser.add_argument("--replicate-image-bug", action="store_true")
+    parser.add_argument("--offline", action="store_true",
+                        help="skip all network steps without probing")
+    parser.add_argument("--luma-repo", type=str, default="external/LUMA",
+                        help="upstream LUMA repo checkout (cloned when online)")
     args = parser.parse_args(argv)
 
     raw_dir, out_dir = Path(args.raw_dir), Path(args.out_dir)
-    print("[1/4] raw data check (zero-egress: the HF download / LUMA clone "
-          "steps of the reference cannot run here; place the raw corpus at "
-          f"{raw_dir})")
+    online = (not args.offline) and has_network()
+    print(f"network: {'available' if online else 'unavailable — network steps skipped'}")
+
+    # Steps mirror the reference orchestration (compile_luma.py:316-346);
+    # each network step degrades to a presence check offline.
+    print("[1/6] NLTK wordnet")
+    check_nltk_data(online)
+    print("[2/6] upstream LUMA repo")
+    repo = check_luma_repo(online, Path(args.luma_repo))
+    print(f"[3/6] raw data check (offline: place the raw HF corpus at {raw_dir})")
     if not check_raw_data(raw_dir):
         # Maybe the compiled layout already exists (e.g. the test fixture).
         if (out_dir / "audio_datalist.csv").exists():
             print("  raw data missing but compiled layout present — continuing")
             if not args.skip_featurize:
-                print("[4/4] offline featurization")
+                print("[6/6] offline featurization")
                 featurize(out_dir, args.replicate_image_bug)
             return 0
         print("  aborting: no raw or compiled data found")
         return 1
-    print("[2/4] compile config")
-    create_config_file(raw_dir, out_dir, Path(args.config_out))
-    print("[3/4] compiled layout")
-    create_simplified_dataset(raw_dir, out_dir)
+    print("[4/6] compile config")
+    cfg_path = Path(args.config_out)
+    create_config_file(raw_dir, out_dir, cfg_path)
+    print("[5/6] compiled layout")
+    compiled_upstream = repo is not None and run_upstream_compile(repo, cfg_path)
+    if not compiled_upstream:
+        print("  falling back to the simplified layout builder")
+        create_simplified_dataset(raw_dir, out_dir)
     if not args.skip_featurize:
-        print("[4/4] offline featurization")
+        print("[6/6] offline featurization")
         featurize(out_dir, args.replicate_image_bug)
     print("done")
     return 0

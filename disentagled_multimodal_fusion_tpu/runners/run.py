@@ -393,6 +393,11 @@ def main(argv=None):
         help="train all seeds of each (dataset, condition) cell as one "
              "vmapped program (same math, ~Nx throughput)",
     )
+    parser.add_argument(
+        "--dtype", choices=["float32", "bfloat16"], default="float32",
+        help="matmul compute dtype (params/losses stay f32; bfloat16 runs "
+             "encoder/decoder/head matmuls on the MXU in bf16)",
+    )
     from .common import add_mesh_args, build_runner_mesh
     add_mesh_args(parser)
     args = parser.parse_args(argv)
@@ -415,6 +420,15 @@ def main(argv=None):
     from .common import load_config, main_columns, make_getter, write_report
 
     C = make_getter(load_config("config.yaml"))
+    if args.dtype != "float32":
+        from functools import partial
+
+        build_dmvae_task = partial(build_dmvae_task, dtype=args.dtype)
+        build_probe_task = partial(build_probe_task, dtype=args.dtype)
+        build_disentangled_probe_task = partial(
+            build_disentangled_probe_task, dtype=args.dtype
+        )
+        build_late_fusion_task = partial(build_late_fusion_task, dtype=args.dtype)
     builders = (build_dmvae_task, build_probe_task, build_disentangled_probe_task,
                 build_late_fusion_task, embed_dataset)
 

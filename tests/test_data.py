@@ -222,3 +222,54 @@ def test_conflict_and_noise_bit_identical_to_reference():
         np.testing.assert_allclose(
             ours.X[vv], ref_ds.X[vv].astype(np.float32), atol=1e-6
         )
+
+
+def test_wordpiece_matches_transformers_bert_tokenizer(tmp_path):
+    """Our offline WordPiece (data/wordpiece.py) is algorithm-identical to
+    transformers.BertTokenizer on a local vocab: with the genuine
+    bert-base-uncased vocab.txt the LUMA text features are then bit-identical
+    to the reference's AutoTokenizer path (dataset_luma.py:311-322)."""
+    from transformers import BertTokenizer
+
+    from disentagled_multimodal_fusion_tpu.data.wordpiece import WordPieceTokenizer
+
+    vocab = (
+        "[PAD] [UNK] [CLS] [SEP] [MASK] the quick brown fox jump ##s ##ed "
+        "##ing over lazy dog cafe , . ! ? ' \" - 1 2 3 ##1 ##2 un ##believ "
+        "##able a b c d e ##a ##b ##c ##d ##e 中 国"
+    ).split()
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+
+    hf = BertTokenizer(vocab_file=str(vf), do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(vf)
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog.",
+        "Café, CAFE!  café?",            # accents + case + punct
+        "unbelievable jumping",                     # multi-piece words
+        "zzz unknownword 123 ab",                   # [UNK], digits, subwords
+        "\"quoted\" - 'text'",
+        "中国 fox",                                  # CJK spacing
+        "a" * 120,                                  # >100 chars -> [UNK]
+        "",                                         # empty string
+        "the " * 100,                               # truncation at max_length
+    ]
+    for text in texts:
+        assert ours.tokenize(text) == hf.tokenize(text), text
+        ref_ids = hf(text, max_length=16, padding="max_length", truncation=True)[
+            "input_ids"
+        ]
+        assert ours.encode(text, 16) == ref_ids, text
+    assert ours.vocab_size == hf.vocab_size
+
+
+def test_luma_text_fallback_warns_loudly(tmp_path, monkeypatch):
+    """Without network/cache/vendored vocab the hash fallback must warn."""
+    import warnings as w
+
+    from disentagled_multimodal_fusion_tpu.data import wordpiece
+
+    monkeypatch.setattr(wordpiece, "DEFAULT_VOCAB_LOCATIONS", ())
+    assert wordpiece.find_local_vocab(None) is None
+    assert wordpiece.find_local_vocab(str(tmp_path / "missing.txt")) is None
