@@ -98,8 +98,9 @@ def to_device(arrays):
 
 
 def write_report(dfs: Dict[str, pd.DataFrame], excel_path: str) -> None:
-    """Write the multi-sheet report: Excel when openpyxl is available
-    (reference: run.py:340-343), always CSV sheets alongside."""
+    """Write the multi-sheet report: pandas/openpyxl when available
+    (reference: run.py:340-343), else the vendored dependency-free xlsx
+    writer (utils/xlsx.py) — plus CSV sheets alongside either way."""
     path = Path(excel_path)
     path.parent.mkdir(parents=True, exist_ok=True)
     try:
@@ -108,7 +109,10 @@ def write_report(dfs: Dict[str, pd.DataFrame], excel_path: str) -> None:
                 df.to_excel(writer, sheet_name=sheet, index=False)
         print(f"wrote {path}")
     except (ImportError, ModuleNotFoundError):
-        pass  # openpyxl not installed; CSV below is authoritative
+        from disentagled_multimodal_fusion_tpu.utils.xlsx import write_xlsx
+
+        write_xlsx(path, dfs)
+        print(f"wrote {path} (vendored xlsx writer)")
     for sheet, df in dfs.items():
         csv = path.with_name(f"{path.stem}_{sheet}.csv")
         df.to_csv(csv, index=False)
