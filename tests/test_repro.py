@@ -86,3 +86,18 @@ def test_hash_not_used_for_keys():
         for i, line in enumerate(src.splitlines(), 1):
             if "PRNGKey" in line and "hash(" in line:
                 raise AssertionError(f"{py.name}:{i} seeds PRNGKey with hash(): {line.strip()}")
+
+
+def test_configure_pins_f32_matmul_precision():
+    """Parity-first numerics: configure() must force true-f32 matmuls.
+
+    TPU's DEFAULT precision computes f32 matmuls as bf16 passes, which
+    can flip knife-edge EDL trainings into the zero-evidence collapse
+    (PIE LateFusion seed 4: 0.463 DEFAULT vs 0.868 f32, torch 0.890).
+    """
+    import jax
+
+    from disentagled_multimodal_fusion_tpu.core.setup import configure
+
+    configure()
+    assert jax.config.jax_default_matmul_precision == "highest"

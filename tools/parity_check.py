@@ -161,7 +161,8 @@ def ours_metrics(info):
     }
 
 
-def run_seed(seed, *, dataset, epochs, dep, models, out):
+def run_seed(seed, *, dataset, epochs, dep, models, out, torch_cache=None,
+             seed_index=0):
     """One parity seed: identical split + identical frozen embeddings,
     six reference-math torch fits vs six of our jitted tasks."""
     import jax
@@ -316,7 +317,14 @@ def run_seed(seed, *, dataset, epochs, dep, models, out):
         if models and name not in models:
             continue
         t0 = time.time()
-        ref = torch_fn()
+        cached = (
+            torch_cache.get(name, {}).get("torch", [])
+            if torch_cache is not None else []
+        )
+        if seed_index < len(cached):
+            ref = cached[seed_index]  # --reuse-torch: identical data/seed
+        else:
+            ref = torch_fn()
         t_torch = time.time() - t0
         t0 = time.time()
         ours = ours_fn()
@@ -359,6 +367,13 @@ def main():
     parser.add_argument("--models", type=str, nargs="*", default=None,
                         help="subset of the 6 model names")
     parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--reuse-torch", action="store_true",
+        help="reuse the torch-side per-seed metrics from an existing "
+             "results JSON (same dataset/seeds => identical splits and "
+             "reference fits) and re-run only our side — for re-validating "
+             "after framework-side changes without re-paying the CPU fits",
+    )
     args = parser.parse_args()
 
     from disentagled_multimodal_fusion_tpu.core.setup import configure
@@ -370,18 +385,23 @@ def main():
         # (run_synthetic.py:139-229), all with fused=0
         args.models = ["dmvae_cml", "cml_fusion", "avg_fusion"]
 
+    tag = (f"{args.dataset.lower()}_dep{args.dep}" if args.dataset == "synthetic"
+           else args.dataset.lower())
+    dest = args.out or f"results/parity_check_{tag}.json"
+    torch_cache = None
+    if args.reuse_torch:
+        torch_cache = json.loads(Path(dest).read_text())["per_seed"]
+        print(f"reusing torch-side metrics from {dest}")
+
     out = {}
-    for seed in args.seeds:
+    for i, seed in enumerate(args.seeds):
         run_seed(
             seed, dataset=args.dataset, epochs=args.epochs, dep=args.dep,
-            models=args.models, out=out,
+            models=args.models, out=out, torch_cache=torch_cache, seed_index=i,
         )
         # incremental write: long runs survive interruption
         summary = summarize(out)
         Path("results").mkdir(exist_ok=True)
-        tag = (f"{args.dataset.lower()}_dep{args.dep}" if args.dataset == "synthetic"
-               else args.dataset.lower())
-        dest = args.out or f"results/parity_check_{tag}.json"
         Path(dest).write_text(json.dumps({"per_seed": out, "summary": summary}, indent=1))
     print(json.dumps(summary, indent=1))
 
