@@ -50,7 +50,7 @@ def load_ref(name, rel):
 def torch_heads_fit(
     views_tr, y_tr, views_te, y_te, num_classes, *, lr, annealing_start,
     epochs, batch, hidden, dropout, optimizer, schedule, seed=0, agg="cml",
-    weight_decay=None, plateau_patience=10, fused=1,
+    weight_decay=None, plateau_patience=10, fused=1, drop_last=False,
 ):
     """Reference-math multi-view evidential heads (baselines.py:12-150 /
     evidential_probe.py:87-408 math without the Lightning wrapper).
@@ -111,10 +111,13 @@ def torch_heads_fit(
             dim=1,
         )
 
+    # reference loaders: drop_last=True for the synthetic splits
+    # (dataset.py:469), False for the .mat DataLoaders (run.py:68-69)
+    n_used = n - (n % batch) if drop_last else n
     for _ in range(epochs):
         perm = torch.randperm(n)
         heads.train()
-        for s0 in range(0, n, batch):
+        for s0 in range(0, n_used, batch):
             b = perm[s0 : s0 + batch]
             ev = all_evidences(xs_tr, b)
             loss = crit(ev, yt[b], agg_fn(ev), fused=fused)
@@ -263,6 +266,7 @@ def run_seed(seed, *, dataset, epochs, dep, models, out, torch_cache=None,
             lr=lr, annealing_start=annealing, epochs=epochs, batch=batch,
             hidden=128, dropout=0.1, optimizer="adamw", schedule="plateau",
             plateau_patience=5, seed=seed, agg="cml", fused=fused_flag,
+            drop_last=synthetic,
         ),
         lambda: fit_ours(
             build_disentangled_probe_task(
@@ -282,6 +286,7 @@ def run_seed(seed, *, dataset, epochs, dep, models, out, torch_cache=None,
                 lr=lr, annealing_start=annealing, epochs=epochs, batch=batch,
                 hidden=128, dropout=0.1, optimizer="adamw", schedule="cosine",
                 weight_decay=1e-4, seed=seed, agg=agg, fused=fused_flag,
+                drop_last=synthetic,
             )),
             (lambda agg=agg: fit_ours(
                 build_probe_task(
@@ -301,6 +306,7 @@ def run_seed(seed, *, dataset, epochs, dep, models, out, torch_cache=None,
                 lr=lr, annealing_start=annealing, epochs=epochs, batch=batch,
                 hidden=128, dropout=0.1, optimizer="adam", schedule="plateau",
                 plateau_patience=10, seed=seed, agg=agg, fused=fused_flag,
+                drop_last=synthetic,
             )),
             (lambda agg=agg: fit_ours(
                 build_late_fusion_task(
