@@ -74,17 +74,24 @@ def load_data():
     return [v[tr] for v in views], [int(d[0]) for d in ds.dims]
 
 
-def _program_flops(jitted_fn, *args) -> float:
-    """XLA's own FLOP count for the compiled program (0.0 if unavailable)."""
+def _compile_with_flops(jitted_fn, *args):
+    """AOT-compile once; return (callable, flops, compile_seconds).
+
+    The compiled executable is reused for the timed runs so the program is
+    only compiled once per variant; flops come from XLA's own cost model
+    (0.0 if the backend doesn't expose it, callable falls back to the jit).
+    """
+    t0 = time.perf_counter()
     try:
         compiled = jitted_fn.lower(*args).compile()
+        t_compile = time.perf_counter() - t0
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return compiled, float(ca.get("flops", 0.0)), t_compile
     except Exception as e:  # relay/backends may not expose cost analysis
-        _log(f"cost_analysis unavailable: {e}")
-        return 0.0
+        _log(f"AOT compile/cost_analysis unavailable: {e}")
+        return jitted_fn, 0.0, time.perf_counter() - t0
 
 
 def bench_jax(xs_np, dims, fused_modalities: bool = True, dtype=None):
@@ -111,20 +118,18 @@ def bench_jax(xs_np, dims, fused_modalities: bool = True, dtype=None):
         val_fn=None, has_state=False,
     )
     run = jax.jit(lambda p, r: program(p, r, {"xs": xs}, None, None))
-    flops = _program_flops(run, params0, key)
+    run, flops, t_compile = _compile_with_flops(run, params0, key)
 
-    t0 = time.perf_counter()
-    res = run(params0, key)
+    res = run(params0, key)  # warmup (transfers, lazy init)
     jax.block_until_ready(res.params)
-    t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = run(params0, key)
     jax.block_until_ready(res.params)
     t_run = time.perf_counter() - t0
     _log(
         f"jax (fused={fused_modalities}, dtype={dtype or 'float32'}): "
-        f"{EPOCHS_JAX} epochs in {t_run:.3f}s (first call incl. compile "
-        f"{t_compile:.1f}s); final loss {float(res.train_loss[-1]):.4f}; "
+        f"{EPOCHS_JAX} epochs in {t_run:.3f}s (compile {t_compile:.1f}s); "
+        f"final loss {float(res.train_loss[-1]):.4f}; "
         f"program flops {flops:.3e}"
     )
     return t_run / EPOCHS_JAX * 1000.0, flops / EPOCHS_JAX
@@ -159,11 +164,9 @@ def bench_jax_vmapped(xs_np, dims):
     )
     # data shared across seeds (broadcast), params/rngs stacked
     run = jax.jit(jax.vmap(lambda p, r: program(p, r, {"xs": xs}, None, None)))
-    flops = _program_flops(run, params_stack, rngs)
-    t0 = time.perf_counter()
-    res = run(params_stack, rngs)
+    run, flops, t_compile = _compile_with_flops(run, params_stack, rngs)
+    res = run(params_stack, rngs)  # warmup
     jax.block_until_ready(res.params)
-    t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = run(params_stack, rngs)
     jax.block_until_ready(res.params)

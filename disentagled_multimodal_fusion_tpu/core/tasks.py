@@ -373,7 +373,12 @@ def build_late_fusion_task(
         dtype=_norm_dtype(dtype),
     )
     agg = AGGREGATIONS[aggregation]
-    xs0 = [jnp.zeros((2, d)) for d in (input_dims or output_dims)]
+    # input_dims entries may be ints (flat views) or shape tuples
+    # (e.g. (n_mfcc, frames) audio maps for AudioEncoder(use_2d=True))
+    xs0 = [
+        jnp.zeros((2, *d) if isinstance(d, (tuple, list)) else (2, d))
+        for d in (input_dims or output_dims)
+    ]
     variables = model.init({"params": rng, "dropout": rng}, xs0, train=True)
     params = variables["params"]
     bstats = variables.get("batch_stats")

@@ -283,7 +283,10 @@ def train_many(
     is replicated across the mesh.
     """
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.distributed import shard_global
+        from ..parallel.mesh import shard_instances
 
         n_dp = mesh.shape["data"]
         s_count = rngs.shape[0]
@@ -293,23 +296,18 @@ def train_many(
                 f"by the mesh 'data' axis ({n_dp}); pad the seed list or "
                 f"shrink the mesh"
             )
-        inst = NamedSharding(mesh, P("data"))
-        repl = NamedSharding(mesh, P())
-        place_inst = lambda t: jax.tree.map(lambda a: jax.device_put(a, inst), t)
-        rngs = place_inst(rngs)
-        params_stack = place_inst(params_stack)
+        rngs = shard_instances(rngs, mesh)
+        params_stack = shard_instances(params_stack, mesh)
         if model_state_stack is not None:
-            model_state_stack = place_inst(model_state_stack)
+            model_state_stack = shard_instances(model_state_stack, mesh)
         if data_broadcast:
-            data_stack = jax.tree.map(lambda a: jax.device_put(a, repl), data_stack)
+            data_stack = shard_global(data_stack, mesh, P())
             if val_data_stack is not None:
-                val_data_stack = jax.tree.map(
-                    lambda a: jax.device_put(a, repl), val_data_stack
-                )
+                val_data_stack = shard_global(val_data_stack, mesh, P())
         else:
-            data_stack = place_inst(data_stack)
+            data_stack = shard_instances(data_stack, mesh)
             if val_data_stack is not None:
-                val_data_stack = place_inst(val_data_stack)
+                val_data_stack = shard_instances(val_data_stack, mesh)
     program = make_train_program(
         loss_fn=loss_fn,
         n_train=n_train,

@@ -165,14 +165,18 @@ def mfcc(
     return (dct_matrix(n_mfcc, n_mels).T @ mel_db).astype(np.float32)
 
 
-def wav_to_mfcc_mean(
+def wav_to_mfcc_map(
     path: str,
     sample_rate: int = 16000,
     max_length_s: float = 3.0,
     n_mfcc: int = 40,
 ) -> np.ndarray:
-    """Full reference audio pipeline (dataset_luma.py:238-295):
-    decode -> resample -> mono -> pad/trim -> MFCC -> time-mean, (n_mfcc,)."""
+    """Reference audio pipeline minus the time-mean (dataset_luma.py:238-283):
+    decode -> resample -> mono -> pad/trim -> MFCC, (n_mfcc, frames).
+
+    The full time-frequency map feeds ``AudioEncoder(use_2d=True)``'s
+    2D-spectrogram conv branch (reference classifiers.py:155-217, which has
+    no producer in the reference — its dataset always time-averages)."""
     wav, rate = read_wav(path)
     if rate != sample_rate:
         wav = resample(wav, rate, sample_rate)
@@ -182,4 +186,17 @@ def wav_to_mfcc_mean(
         mono = mono[:target]
     elif len(mono) < target:
         mono = np.pad(mono, (0, target - len(mono)))
-    return mfcc(mono, sample_rate=sample_rate, n_mfcc=n_mfcc).mean(axis=1)
+    return mfcc(mono, sample_rate=sample_rate, n_mfcc=n_mfcc)
+
+
+def wav_to_mfcc_mean(
+    path: str,
+    sample_rate: int = 16000,
+    max_length_s: float = 3.0,
+    n_mfcc: int = 40,
+) -> np.ndarray:
+    """Full reference audio pipeline (dataset_luma.py:238-295):
+    decode -> resample -> mono -> pad/trim -> MFCC -> time-mean, (n_mfcc,)."""
+    return wav_to_mfcc_map(
+        path, sample_rate=sample_rate, max_length_s=max_length_s, n_mfcc=n_mfcc
+    ).mean(axis=1)

@@ -247,6 +247,20 @@ class LUMADataset:
         for s in self.samples:
             fp = Path(str(self.audio_df.loc[s["audio_idx"], "filepath"]))
             paths.append(str(fp if fp.is_absolute() else self.data_path / fp))
+        if self.audio_config.get("use_2d", False):
+            # full (n_mfcc, frames) maps for AudioEncoder(use_2d=True);
+            # fixed pad/trim length => static frame count
+            from .audio import wav_to_mfcc_map
+
+            return np.stack([
+                wav_to_mfcc_map(
+                    p,
+                    sample_rate=self.audio_config["sample_rate"],
+                    max_length_s=self.audio_config["max_length"],
+                    n_mfcc=self.audio_config["n_mfcc"],
+                )
+                for p in paths
+            ])
         return featurize_wav_files(
             paths,
             sample_rate=self.audio_config["sample_rate"],
@@ -273,7 +287,8 @@ class LUMADataset:
 
     def featurize(self) -> Tuple[Tuple[np.ndarray, np.ndarray, np.ndarray], np.ndarray]:
         """((audio, text, image), labels), cached to features_{split}.npz."""
-        cache_file = self.data_path / f"features_{self.split}.npz"
+        tag = "_2d" if self.audio_config.get("use_2d", False) else ""
+        cache_file = self.data_path / f"features_{self.split}{tag}.npz"
         if self.cache and cache_file.exists():
             z = np.load(cache_file)
             return (z["audio"], z["text"], z["image"]), z["y"]

@@ -1,5 +1,12 @@
-"""TPU mesh construction and dp/tp sharding rules."""
+"""TPU mesh construction, dp/tp sharding rules, and multi-host (DCN) glue."""
 
+from .distributed import (
+    global_mesh,
+    initialize,
+    process_rows,
+    shard_global,
+    shard_instances_global,
+)
 from .mesh import (
     batch_sharding,
     instance_sharding,

@@ -1,0 +1,137 @@
+"""Multi-host (DCN) scaffolding: process init + host-local data feeding.
+
+Single-slice dp/tp lives in ``parallel.mesh`` and rides the ICI. Scaling
+past one host (TPU pods / multi-slice over DCN) needs two more pieces,
+both provided here:
+
+1. **Process initialization** — every host runs the same program and must
+   join the cluster before first JAX use (``jax.distributed.initialize``).
+   ``initialize()`` wraps that as an idempotent no-op for the 1-process
+   case, so runners can call it unconditionally (the reference has no
+   counterpart: SURVEY.md §2.3 — every pl.Trainer is single-process).
+
+2. **Host-local -> global arrays** — under multi-process JAX a
+   ``device_put`` to a sharding that spans non-addressable devices fails;
+   each process instead materializes ONLY its own rows and assembles the
+   global view with ``jax.make_array_from_process_local_data``.
+   ``shard_global`` dispatches between the two regimes so callers
+   (core.train.train_many / runners) stay regime-agnostic.
+
+Layout guidance (jax-ml.github.io/scaling-book): keep the 'model' axis
+inside a slice (ICI) and let only the 'data' axis cross DCN — the mesh
+helpers here order axes so contiguous device groups (same host/slice) sit
+along 'model'.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """Join the multi-host cluster; no-op when single-process.
+
+    Auto-detects cluster membership from the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — or the
+    TPU pod metadata JAX reads natively) when args are omitted. Returns
+    True when a multi-process runtime was (or already is) initialized,
+    False for the plain single-process regime.
+
+    Safe to call more than once: a RuntimeError from an already-started
+    distributed runtime is swallowed.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized (e.g. by a launcher)
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = num_processes if num_processes is not None else int(
+        os.environ.get("JAX_NUM_PROCESSES", "0") or 0
+    )
+    if addr is None and nproc <= 1:
+        return False  # single-process: nothing to join
+    pid = process_id if process_id is not None else int(
+        os.environ.get("JAX_PROCESS_ID", "0") or 0
+    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=nproc or None,
+            process_id=pid,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_count() > 1
+
+
+def global_mesh(
+    model_parallel: int = 1,
+    axis_names: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """Mesh over ALL devices in the cluster (every process, every host).
+
+    The device grid is ordered so each 'model' group is a contiguous run
+    of device ids — under the standard enumeration those are same-host /
+    same-slice devices, which keeps tensor-parallel collectives on ICI and
+    lets only data-parallel gradient reductions cross DCN.
+    """
+    devs = jax.devices()  # global list under multi-process JAX
+    n = len(devs)
+    if n % model_parallel:
+        raise ValueError(
+            f"device count {n} must divide by model_parallel={model_parallel}"
+        )
+    grid = np.array(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names)
+
+
+def process_rows(
+    n: int,
+    process_id: Optional[int] = None,
+    num_processes: Optional[int] = None,
+) -> slice:
+    """This process's contiguous row range of a length-n global axis.
+
+    Data loaders call this so each host reads only its shard (the
+    reference loads everything everywhere; over DCN that would move the
+    whole corpus to every host). ``process_id``/``num_processes`` default
+    to the live cluster's values.
+    """
+    pc = jax.process_count() if num_processes is None else num_processes
+    pid = jax.process_index() if process_id is None else process_id
+    per = -(-n // pc)  # ceil
+    return slice(pid * per, min(n, (pid + 1) * per))
+
+
+def shard_global(pytree, mesh: Mesh, spec: P):
+    """Place ``pytree`` on ``mesh`` under ``spec``, multi-process-safe.
+
+    Single-process: plain sharded device_put (zero-copy reshard when the
+    value is already on device). Multi-process: each process passes ONLY
+    its host-local rows (see ``process_rows``) and the global array view
+    is assembled without any cross-host copy of array data.
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), pytree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        pytree,
+    )
+
+
+def shard_instances_global(pytree, mesh: Mesh, axis: str = "data"):
+    """Multi-host variant of parallel.mesh.shard_instances: the stacked
+    instance axis (seeds x models) splits over 'data' across ALL hosts —
+    still zero collectives, now across DCN too."""
+    return shard_global(pytree, mesh, P(axis))

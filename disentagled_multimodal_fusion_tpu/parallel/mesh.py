@@ -94,9 +94,11 @@ def shard_instances(pytree, mesh: Mesh, axis: str = "data"):
     independent instances — the vmapped train program partitions along S
     with ZERO collectives (fully data-local parallelism over ICI-free
     work; the cheapest possible scaling for the seeds x models sweep).
+    Multi-process-safe (see parallel.distributed.shard_global).
     """
-    sh = instance_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), pytree)
+    from .distributed import shard_global
+
+    return shard_global(pytree, mesh, P(axis))
 
 
 def shard_params(params, mesh: Mesh, hidden_dim: int):
@@ -108,6 +110,8 @@ def shard_params(params, mesh: Mesh, hidden_dim: int):
 
 
 def shard_batch(pytree, mesh: Mesh):
-    """Place batch arrays with the leading axis split over 'data'."""
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), pytree)
+    """Place batch arrays with the leading axis split over 'data'.
+    Multi-process-safe (see parallel.distributed.shard_global)."""
+    from .distributed import shard_global
+
+    return shard_global(pytree, mesh, P("data"))

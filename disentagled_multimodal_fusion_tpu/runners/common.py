@@ -68,24 +68,40 @@ def add_mesh_args(parser) -> None:
 
 
 def build_runner_mesh(data_parallel: int = 1, model_parallel: int = 1):
-    """Mesh for the runner flags; None when no parallelism requested."""
-    if data_parallel <= 1 and model_parallel <= 1:
+    """Mesh for the runner flags; None when no parallelism requested.
+
+    Joins the multi-host cluster first when the standard JAX coordinator
+    env vars are present (parallel.distributed.initialize — a no-op for
+    the plain single-process case), so the same CLI works on one chip, a
+    single slice, or a multi-host pod.
+    """
+    from ..parallel.distributed import initialize
+
+    multihost = initialize()
+    if data_parallel <= 1 and model_parallel <= 1 and not multihost:
         return None
     import jax
 
+    from ..parallel.distributed import global_mesh
     from ..parallel.mesh import make_mesh
 
-    n = data_parallel * model_parallel
-    avail = len(jax.devices())
-    if n > avail:
-        raise SystemExit(
-            f"--data-parallel x --model-parallel = {n} devices requested, "
-            f"but only {avail} visible (set "
-            f"XLA_FLAGS=--xla_force_host_platform_device_count=N for CPU tests)"
-        )
-    mesh = make_mesh(n_devices=n, model_parallel=model_parallel)
+    if multihost:
+        # all devices across all hosts; 'model' groups stay intra-host
+        mesh = global_mesh(model_parallel=model_parallel)
+    else:
+        n = data_parallel * model_parallel
+        avail = len(jax.devices())
+        if n > avail:
+            raise SystemExit(
+                f"--data-parallel x --model-parallel = {n} devices requested, "
+                f"but only {avail} visible (set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N for CPU tests)"
+            )
+        mesh = make_mesh(n_devices=n, model_parallel=model_parallel)
     print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
-          f"over {n} {jax.devices()[0].platform} device(s)", flush=True)
+          f"over {mesh.devices.size} {jax.devices()[0].platform} device(s)"
+          + (f", {jax.process_count()} processes" if multihost else ""),
+          flush=True)
     return mesh
 
 

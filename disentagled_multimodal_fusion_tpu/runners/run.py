@@ -361,8 +361,10 @@ def run_condition_vmapped(
                 info = evaluate_subjective_model(task, params_s, te_s)
             else:
                 info = evaluate_subjective_model_with_shared(task, params_s, te_s)
-            model_name = (f"{name}_fusion_ds{dataset_name}_seed{seed}"
-                          + ("_conflict" if conflict else ""))
+            model_name = (
+                f"{name}_fusion_ds{dataset_name}_seed{seed}"
+                + ("_conflict" if conflict else "_noise" if noise else "")
+            )
             from ..core.train import TrainResult
             log_training_csv(model_name, TrainResult(
                 params=None, train_loss=res_m.train_loss[s],

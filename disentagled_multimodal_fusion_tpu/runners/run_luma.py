@@ -115,6 +115,9 @@ def main(argv=None):
     xs_te = tuple(jnp.asarray(x) for x in xs_te_np)
     y_tr, y_te = jnp.asarray(y_tr_np), jnp.asarray(y_te_np)
     n_train = len(y_tr_np)
+    # per-view feature shapes for encoder init (audio is a 2D
+    # (n_mfcc, frames) map when data.audio.use_2d is set)
+    view_shapes = [tuple(x.shape[1:]) for x in xs_tr_np]
 
     def encoders():
         # run_luma.py:199-203
@@ -211,7 +214,7 @@ def main(argv=None):
                 hidden_dim=probe_hidden, dropout=probe_dropout, lr=luma_lr,
                 annealing_start=annealing_start, aggregation=agg, fused=1.0,
                 feature_encoders=encoders(),
-                input_dims=[int(d[0]) for d in dims]), True
+                input_dims=view_shapes), True
 
         for j in range(6):
             name, builder, is_lf = builders_for(j)
@@ -317,7 +320,7 @@ def main(argv=None):
                     hidden_dim=probe_hidden, dropout=probe_dropout, lr=luma_lr,
                     annealing_start=annealing_start, aggregation=agg, fused=1.0,
                     feature_encoders=encoders(),
-                    input_dims=[int(d[0]) for d in dims],
+                    input_dims=view_shapes,
                 ), lf_train, lf_test,
             ))
 

@@ -109,7 +109,7 @@ def write_xlsx(path, sheets: Dict[str, "object"]) -> None:
     frames = list(sheets.values())
 
     sheet_entries = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        f'<sheet name="{escape(n, {chr(34): "&quot;"})}" sheetId="{i+1}" r:id="rId{i+1}"/>'
         for i, n in enumerate(names)
     )
     workbook = (
@@ -202,19 +202,32 @@ def read_xlsx(path) -> Dict[str, List[List[object]]]:
             ws = ET.fromstring(zf.read(f"xl/{target.lstrip('/')}"))
             rows = []
             for row in ws.findall("m:sheetData/m:row", ns):
-                vals = []
+                vals: List[object] = []
                 for c in row.findall("m:c", ns):
+                    # honor the cell reference: blank cells are omitted from
+                    # the file, so position by column letter, not sequence
+                    ref = c.get("r", "")
+                    letters = "".join(ch for ch in ref if ch.isalpha())
+                    if letters:
+                        col = 0
+                        for ch in letters:
+                            col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+                        col -= 1
+                    else:
+                        col = len(vals)
+                    while len(vals) <= col:
+                        vals.append(None)
                     t = c.get("t")
                     if t == "inlineStr":
-                        vals.append("".join(
-                            el.text or "" for el in c.iter(f"{{{ns['m']}}}t")))
+                        vals[col] = "".join(
+                            el.text or "" for el in c.iter(f"{{{ns['m']}}}t"))
                     elif t == "s":
-                        vals.append(shared[int(c.findtext("m:v", "", ns))])
+                        vals[col] = shared[int(c.findtext("m:v", "", ns))]
                     elif t == "b":
-                        vals.append(bool(int(c.findtext("m:v", "0", ns))))
+                        vals[col] = bool(int(c.findtext("m:v", "0", ns)))
                     else:
                         v = c.findtext("m:v", None, ns)
-                        vals.append(None if v is None else float(v))
+                        vals[col] = None if v is None else float(v)
                 rows.append(vals)
             out[sheet.get("name")] = rows
     return out

@@ -177,6 +177,38 @@ def test_fake_luma_pipeline(tmp_path):
     assert smoke(["--data-path", root]) == 0
 
 
+def test_fake_luma_use_2d(tmp_path):
+    """data.audio.use_2d: the featurizer emits full (n_mfcc, frames) MFCC
+    maps and the 2D-spectrogram AudioEncoder branch consumes them — the
+    producer the reference never shipped for classifiers.py:155-217."""
+    import jax
+
+    from disentagled_multimodal_fusion_tpu.data.luma import (
+        get_luma_arrays, make_fake_luma,
+    )
+    from disentagled_multimodal_fusion_tpu.models.layers import AudioEncoder
+
+    root = make_fake_luma(
+        tmp_path / "luma", n_classes=2, train_per_class=3, test_per_class=1)
+    audio_cfg = {"sample_rate": 16000, "max_length": 1.0, "n_mfcc": 40,
+                 "use_mfcc": True, "use_2d": True}
+    xs_tr, y_tr, xs_te, y_te, n_cls, _, _ = get_luma_arrays(root, audio_cfg)
+    assert xs_tr[0].ndim == 3 and xs_tr[0].shape[1] == 40  # (N, n_mfcc, T)
+    frames = xs_tr[0].shape[2]
+    assert frames > 1  # a real time axis, not the time-mean
+
+    enc = AudioEncoder(input_dim=40, output_dim=16, dropout=0.1, use_2d=True)
+    key = jax.random.PRNGKey(0)
+    variables = enc.init({"params": key, "dropout": key}, xs_tr[0], train=False)
+    out = enc.apply(variables, xs_tr[0], train=False)
+    assert out.shape == (len(y_tr), 16)
+
+    # 1D cache and 2D cache are distinct files; 1D request still gets means
+    xs_1d, *_ = get_luma_arrays(root, {**audio_cfg, "use_2d": False})
+    assert xs_1d[0].ndim == 2 and xs_1d[0].shape[1] == 40
+    assert np.allclose(np.asarray(xs_tr[0]).mean(axis=2), xs_1d[0], atol=1e-4)
+
+
 @pytest.mark.skipif(
     not Path("/root/reference/datasets/dataset.py").exists(),
     reason="reference not mounted",

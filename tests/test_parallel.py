@@ -209,3 +209,62 @@ def test_train_with_data_parallel_mesh_matches_single_device():
         np.asarray(res_mesh.train_loss), np.asarray(res_single.train_loss),
         rtol=1e-4, atol=1e-6,
     )
+
+
+# ------------------------------------------------- multi-host scaffolding
+def test_distributed_initialize_single_process_noop():
+    """No coordinator env vars -> initialize() is a no-op returning False."""
+    import os
+
+    from disentagled_multimodal_fusion_tpu.parallel.distributed import initialize
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        assert var not in os.environ  # test env is single-process
+    assert initialize() is False
+    assert jax.process_count() == 1
+
+
+def test_process_rows_partition():
+    """process_rows covers [0, n) exactly once for any process count."""
+    from disentagled_multimodal_fusion_tpu.parallel.distributed import process_rows
+
+    n = 103
+    for pc in (1, 2, 4, 8):
+        covered = []
+        for pid in range(pc):
+            # simulate pid under a pc-process cluster
+            per = -(-n // pc)
+            s = process_rows(n, process_id=pid, num_processes=pc)
+            assert s == slice(pid * per, min(n, (pid + 1) * per))
+            covered.extend(range(s.start, s.stop))
+        assert covered == list(range(n))
+
+
+@needs_8
+def test_shard_global_matches_device_put_single_process():
+    """Single-process shard_global == sharded device_put, bitwise."""
+    from disentagled_multimodal_fusion_tpu.parallel.distributed import shard_global
+
+    mesh = make_mesh(8, model_parallel=1)
+    x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    a = shard_global({"x": x}, mesh, P("data"))["x"]
+    b = jax.device_put(x, NamedSharding(mesh, P("data")))
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # replicated spec too (the data_broadcast path of train_many)
+    r = shard_global({"x": x}, mesh, P())["x"]
+    assert r.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(x))
+
+
+@needs_8
+def test_global_mesh_model_groups_contiguous():
+    """global_mesh keeps each 'model' group a contiguous id run (ICI-local)."""
+    from disentagled_multimodal_fusion_tpu.parallel.distributed import global_mesh
+
+    mesh = global_mesh(model_parallel=2)
+    assert mesh.axis_names == ("data", "model")
+    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    assert ids.shape == (len(jax.devices()) // 2, 2)
+    for row in ids:
+        assert row[1] == row[0] + 1  # contiguous -> same host/slice

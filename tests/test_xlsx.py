@@ -49,7 +49,8 @@ def test_roundtrip_multisheet(tmp_path):
     assert rows[2][0] == "CUB" and rows[2][1] == 0.925
     r2 = sheets["all_results_v2_"]
     assert r2[1] == [1.5, True]
-    assert len(r2[2]) == 1 and r2[2][0] is False  # NaN cell omitted
+    # NaN cell omitted from the file; reader keeps column alignment via r=
+    assert r2[2] == [None, False]
     assert r2[3] == [-3.0, True]
 
 

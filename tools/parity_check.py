@@ -155,6 +155,38 @@ def torch_heads_fit(
     return {"accuracy": acc, "ece": ece, "epistemic_mean": epi, "aleatoric_mean": ale}
 
 
+def frozen_dmvae_embeddings(
+    xs_tr, xs_te, dims, seed, *, embed_dim=200, hidden_dim=512, lr=1e-4,
+    epochs=100, batch=100, drop_last=False,
+):
+    """Train the frozen DMVAE backbone and embed train/test.
+
+    One protocol, shared by the parity harness and tools/pie_study.py:
+    PRNGKey(seed) init, PRNGKey(seed+200) training stream, a=1e-5 —
+    so both studies always probe identical embeddings."""
+    import jax
+
+    from disentagled_multimodal_fusion_tpu.core.tasks import (
+        build_dmvae_task, embed_dataset,
+    )
+    from disentagled_multimodal_fusion_tpu.core.train import train
+
+    model, params, loss_fn, opt, _ = build_dmvae_task(
+        rng=jax.random.PRNGKey(seed), xs_sample=xs_tr, output_dim=list(dims),
+        a=1e-5, hidden_dim=hidden_dim, embed_dim=embed_dim, lr=lr,
+        num_epochs=epochs,
+    )
+    res_b = train(
+        rng=jax.random.PRNGKey(seed + 200), params=params, loss_fn=loss_fn,
+        data={"xs": xs_tr}, n_train=xs_tr[0].shape[0], optimizer=opt,
+        epochs=epochs, batch_size=batch, drop_last=drop_last,
+    )
+    return (
+        embed_dataset(model, res_b.params, xs_tr),
+        embed_dataset(model, res_b.params, xs_te),
+    )
+
+
 def ours_metrics(info):
     return {
         "accuracy": info["fused"]["accuracy"],
@@ -173,10 +205,8 @@ def run_seed(seed, *, dataset, epochs, dep, models, out, torch_cache=None,
 
     from disentagled_multimodal_fusion_tpu.core.tasks import (
         build_disentangled_probe_task,
-        build_dmvae_task,
         build_late_fusion_task,
         build_probe_task,
-        embed_dataset,
     )
     from disentagled_multimodal_fusion_tpu.core.train import train
     from disentagled_multimodal_fusion_tpu.eval.analysis import (
@@ -228,22 +258,20 @@ def run_seed(seed, *, dataset, epochs, dep, models, out, torch_cache=None,
     y_tr, y_te = jnp.asarray(y_np_tr), jnp.asarray(y_np_te)
 
     # ---- shared frozen backbone: OUR DMVAE, embeddings used by BOTH sides
-    model, params, loss_fn, opt, _ = build_dmvae_task(
-        rng=jax.random.PRNGKey(seed), xs_sample=xs_tr, output_dim=dims,
-        a=1e-5, hidden_dim=dmvae_hidden, embed_dim=embed_dim, lr=dmvae_lr,
-        num_epochs=dmvae_epochs,
-    )
-    res_b = train(
-        rng=jax.random.PRNGKey(seed + 200), params=params, loss_fn=loss_fn,
-        data={"xs": xs_tr}, n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
-        batch_size=batch, drop_last=synthetic,
-    )
-    zc_tr, zp_tr = embed_dataset(model, res_b.params, xs_tr)
-    zc_te, zp_te = embed_dataset(model, res_b.params, xs_te)
-    emb_tr = [np.asarray(zc_tr)] + [np.asarray(zp_tr[:, i]) for i in range(len(dims))]
-    emb_te = [np.asarray(zc_te)] + [np.asarray(zp_te[:, i]) for i in range(len(dims))]
-    probe_tr = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
-    probe_te = {"zc": zc_te, "zp": zp_te, "y": y_te}
+    # (skipped when --models selects only raw-view fusion jobs)
+    needs_probe = models is None or any(m.startswith("dmvae_") for m in models)
+    if needs_probe:
+        (zc_tr, zp_tr), (zc_te, zp_te) = frozen_dmvae_embeddings(
+            xs_tr, xs_te, dims, seed, embed_dim=embed_dim,
+            hidden_dim=dmvae_hidden, lr=dmvae_lr, epochs=dmvae_epochs,
+            batch=batch, drop_last=synthetic,
+        )
+        emb_tr = [np.asarray(zc_tr)] + [np.asarray(zp_tr[:, i]) for i in range(len(dims))]
+        emb_te = [np.asarray(zc_te)] + [np.asarray(zp_te[:, i]) for i in range(len(dims))]
+        probe_tr = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
+        probe_te = {"zc": zc_te, "zp": zp_te, "y": y_te}
+    else:
+        emb_tr = emb_te = probe_tr = probe_te = None
     lf_tr = {"xs": xs_tr, "y": y_tr}
     lf_te = {"xs": xs_te, "y": y_te}
 
@@ -381,6 +409,8 @@ def main():
              "after framework-side changes without re-paying the CPU fits",
     )
     args = parser.parse_args()
+    if not args.seeds:
+        parser.error("--seeds needs at least one value")
 
     from disentagled_multimodal_fusion_tpu.core.setup import configure
 
@@ -396,6 +426,8 @@ def main():
     dest = args.out or f"results/parity_check_{tag}.json"
     torch_cache = None
     if args.reuse_torch:
+        if not Path(dest).exists():
+            parser.error(f"--reuse-torch: no existing results at {dest}")
         torch_cache = json.loads(Path(dest).read_text())["per_seed"]
         print(f"reusing torch-side metrics from {dest}")
 

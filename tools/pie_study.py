@@ -40,9 +40,7 @@ def main():
 
     from disentagled_multimodal_fusion_tpu.core.tasks import (
         build_disentangled_probe_task,
-        build_dmvae_task,
         build_probe_task,
-        embed_dataset,
     )
     from disentagled_multimodal_fusion_tpu.core.train import train
     from disentagled_multimodal_fusion_tpu.data.multiview import DATASET_REGISTRY
@@ -50,6 +48,7 @@ def main():
         evaluate_subjective_model,
         evaluate_subjective_model_with_shared,
     )
+    from tools.parity_check import frozen_dmvae_embeddings
 
     seeds = [0, 1, 2]
     lrs = [3e-4, 1e-3, 3e-3, 1e-2]
@@ -74,17 +73,10 @@ def main():
         y_tr, y_te = jnp.asarray(y[tr]), jnp.asarray(y[te])
         dims = [v.shape[1] for v in views]
 
-        model, params, loss_fn, opt, _ = build_dmvae_task(
-            rng=jax.random.PRNGKey(seed), xs_sample=xs_tr, output_dim=dims,
-            a=1e-5, hidden_dim=512, embed_dim=200, lr=1e-4, num_epochs=100,
+        # identical backbone protocol to the parity harness (shared helper)
+        (zc_tr, zp_tr), (zc_te, zp_te) = frozen_dmvae_embeddings(
+            xs_tr, xs_te, dims, seed,
         )
-        res_b = train(
-            rng=jax.random.PRNGKey(seed + 200), params=params, loss_fn=loss_fn,
-            data={"xs": xs_tr}, n_train=len(tr), optimizer=opt, epochs=100,
-            batch_size=100,
-        )
-        zc_tr, zp_tr = embed_dataset(model, res_b.params, xs_tr)
-        zc_te, zp_te = embed_dataset(model, res_b.params, xs_te)
         per_seed_emb[seed] = dict(
             probe_tr={"zc": zc_tr, "zp": zp_tr, "y": y_tr},
             probe_te={"zc": zc_te, "zp": zp_te, "y": y_te},
