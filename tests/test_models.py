@@ -234,3 +234,133 @@ def test_fusion_library():
     k = jnp.ones((2, 9))
     variables = nl.init(KEY, [q, k])
     assert nl.apply(variables, [q, k]).shape == (2, 12)
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path(
+        "/root/reference/models/common_fusions.py").exists(),
+    reason="reference not mounted",
+)
+def test_fusion_library_golden_vs_reference():
+    """Golden parity for the fusion library (common_fusions.py:11-473):
+    torch modules from the reference's own file, weights copied into our
+    flax modules, outputs compared on shared random inputs."""
+    import importlib.util
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_fusions", "/root/reference/models/common_fusions.py")
+    R = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(R)
+
+    from disentagled_multimodal_fusion_tpu.models import fusions as F
+
+    rng = np.random.default_rng(0)
+    B, d0, d1, d2 = 4, 3, 5, 2
+    a_np = rng.standard_normal((B, d0)).astype(np.float32)
+    b_np = rng.standard_normal((B, d1)).astype(np.float32)
+    c_np = rng.standard_normal((B, d2)).astype(np.float32)
+    at, bt, ct = map(torch.tensor, (a_np, b_np, c_np))
+    aj, bj, cj = map(jnp.asarray, (a_np, b_np, c_np))
+
+    def close(ours, ref, atol=1e-5):
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.detach().numpy(), rtol=1e-4, atol=atol)
+
+    # ---- stateless: direct output parity
+    close(F.concat([aj, bj]), R.Concat()([at, bt]))
+    a3 = rng.standard_normal((B, 2, 3)).astype(np.float32)
+    b3 = rng.standard_normal((B, 2, 4)).astype(np.float32)
+    close(F.concat_early([jnp.asarray(a3), jnp.asarray(b3)]),
+          R.ConcatEarly()([torch.tensor(a3), torch.tensor(b3)]))
+    close(F.stack([aj, bj[:, :d0]]), R.Stack()([at, bt[:, :d0]]))
+    close(F.tensor_fusion([aj, bj]), R.TensorFusion()([at, bt]))
+
+    # ---- NLgate without projections: weight-free attention math
+    q = rng.standard_normal((B, 12)).astype(np.float32)
+    k = rng.standard_normal((B, 6)).astype(np.float32)
+    nl = F.NLgate(thw_dim=4, c_dim=3, tf_dim=2)
+    vars_nl = nl.init(jax.random.PRNGKey(0), [jnp.asarray(q), jnp.asarray(k)])
+    close(
+        nl.apply(vars_nl, [jnp.asarray(q), jnp.asarray(k)]),
+        R.NLgate(4, 3, 2, None, None, None)([torch.tensor(q), torch.tensor(k)]),
+    )
+
+    # ---- ConcatWithLinear: torch Linear (out,in) -> Dense kernel (in,out)
+    torch.manual_seed(0)
+    ref = R.ConcatWithLinear(d0 + d1, 6)
+    ours = F.ConcatWithLinear(input_dim=d0 + d1, output_dim=6)
+    params = {"Dense_0": {
+        "kernel": jnp.asarray(ref.fc.weight.detach().numpy().T),
+        "bias": jnp.asarray(ref.fc.bias.detach().numpy()),
+    }}
+    close(ours.apply({"params": params}, [aj, bj]), ref([at, bt]))
+
+    # ---- MI2, all four output forms (weight copy incl. W reshape)
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    torch.manual_seed(1)
+    d = 7
+    ref = R.MultiplicativeInteractions2Modal([d0, d1], d, "matrix")
+    params = {"W": t2j(ref.W).reshape(d0, d1 * d), "U": t2j(ref.U),
+              "V": t2j(ref.V), "b": t2j(ref.b)}
+    ours = F.MultiplicativeInteractions2Modal(
+        input_dims=(d0, d1), output_dim=d, output="matrix")
+    close(ours.apply({"params": params}, [aj, bj]), ref([at, bt]))
+
+    torch.manual_seed(2)
+    p, qd = 2, 4
+    ref = R.MultiplicativeInteractions2Modal([d0, d1], [p, qd], "matrix3D")
+    params = {"W": t2j(ref.W).reshape(d0, d1, p * qd),  # stored (d0, d1, p*q)
+              "U": t2j(ref.U).reshape(d0, p * qd),
+              "V": t2j(ref.V).reshape(d1, p * qd), "b": t2j(ref.b)}
+    ours = F.MultiplicativeInteractions2Modal(
+        input_dims=(d0, d1), output_dim=(p, qd), output="matrix3D")
+    close(ours.apply({"params": params}, [aj, bj]), ref([at, bt]))
+
+    torch.manual_seed(3)
+    ref = R.MultiplicativeInteractions2Modal([d0, d1], d1, "vector")
+    params = {"W": t2j(ref.W), "U": t2j(ref.U), "V": t2j(ref.V), "b": t2j(ref.b)}
+    ours = F.MultiplicativeInteractions2Modal(
+        input_dims=(d0, d1), output_dim=d1, output="vector")
+    close(ours.apply({"params": params}, [aj, bj]), ref([at, bt]))
+
+    torch.manual_seed(4)
+    ref = R.MultiplicativeInteractions2Modal([d0, d1], 1, "scalar")
+    params = {"W": t2j(ref.W), "U": t2j(ref.U), "V": t2j(ref.V), "b": t2j(ref.b)}
+    ours = F.MultiplicativeInteractions2Modal(
+        input_dims=(d0, d1), output_dim=1, output="scalar")
+    close(ours.apply({"params": params}, [aj, bj]), ref([at, bt]))
+
+    # ---- MI3 (reference task='affect' einsum form — the non-affect branch
+    # matmuls (B,d2)x(B,d2,p) which torch broadcasts to a (B,B,p) artifact;
+    # we implement the meaningful einsum semantics)
+    torch.manual_seed(5)
+    ref = R.MultiplicativeInteractions3Modal([d0, d1, d2], 4, task="affect")
+    params = {
+        "MultiplicativeInteractions2Modal_0": {
+            "W": t2j(ref.a.W).reshape(d0, d1, d2 * 4),
+            "U": t2j(ref.a.U).reshape(d0, d2 * 4),
+            "V": t2j(ref.a.V).reshape(d1, d2 * 4), "b": t2j(ref.a.b)},
+        "MultiplicativeInteractions2Modal_1": {
+            "W": t2j(ref.b.W).reshape(d0, d1 * 4), "U": t2j(ref.b.U),
+            "V": t2j(ref.b.V), "b": t2j(ref.b.b)},
+    }
+    ours = F.MultiplicativeInteractions3Modal(input_dims=(d0, d1, d2), output_dim=4)
+    close(ours.apply({"params": params}, [aj, bj, cj]), ref([at, bt, ct]))
+
+    # ---- LowRankTensorFusion
+    torch.manual_seed(6)
+    ref = R.LowRankTensorFusion([d0, d1], 6, rank=3)
+    params = {
+        "factor_0": t2j(ref.factors[0]).reshape(3, (d0 + 1) * 6),
+        "factor_1": t2j(ref.factors[1]).reshape(3, (d1 + 1) * 6),
+        "fusion_weights": t2j(ref.fusion_weights),
+        "fusion_bias": t2j(ref.fusion_bias),
+    }
+    ours = F.LowRankTensorFusion(input_dims=(d0, d1), output_dim=6, rank=3)
+    close(ours.apply({"params": params}, [aj, bj]), ref([at, bt]))
