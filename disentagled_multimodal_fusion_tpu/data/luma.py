@@ -287,7 +287,9 @@ class LUMADataset:
 
     def featurize(self) -> Tuple[Tuple[np.ndarray, np.ndarray, np.ndarray], np.ndarray]:
         """((audio, text, image), labels), cached to features_{split}.npz."""
-        tag = "_2d" if self.audio_config.get("use_2d", False) else ""
+        tag = ("_ood" if self.use_ood else "") + (
+            "_2d" if self.audio_config.get("use_2d", False) else ""
+        )
         cache_file = self.data_path / f"features_{self.split}{tag}.npz"
         if self.cache and cache_file.exists():
             z = np.load(cache_file)
@@ -328,14 +330,44 @@ def get_luma_arrays(
     return xs_tr, y_tr, xs_te, y_te, train.num_classes, train.num_views, train.dims
 
 
+def get_luma_ood_arrays(
+    data_path: str,
+    audio_config=None,
+    text_config=None,
+    image_config=None,
+    **dataset_kwargs,
+):
+    """Featurized TEST rows of the held-out OOD classes.
+
+    The reference corpus ships 42 in-distribution + 8 OOD classes but no
+    OOD evaluation ever runs there (compile_luma.py:34-47). Returns
+    (ood_views, ood_labels, num_id_classes); labels are indices into the
+    full (ID+OOD) sorted class list, so every returned label is
+    >= num_id_classes. Empty arrays when the corpus has no extra classes.
+    """
+    ds = LUMADataset(
+        data_path, "test", audio_config, text_config, image_config,
+        use_ood=True, **dataset_kwargs,
+    )
+    meta = Path(data_path) / "metadata.yaml"
+    num_id = 42
+    if meta.exists():
+        num_id = (yaml.safe_load(meta.read_text()) or {}).get("num_classes", 42)
+    num_id = min(num_id, ds.num_classes)
+    xs, y = ds.featurize()
+    keep = y >= num_id
+    return tuple(x[keep] for x in xs), y[keep], num_id
+
+
 # ------------------------------------------------------------ test fixture
 def make_fake_luma(
     root: str, n_classes: int = 4, train_per_class: int = 6, test_per_class: int = 2,
-    sample_rate: int = 8000, seed: int = 0,
+    sample_rate: int = 8000, seed: int = 0, ood_classes: int = 0,
 ) -> str:
     """Write a tiny compiled-format LUMA corpus (real wavs/tsv/pickle) for
     tests and smoke runs — the de-facto fixture replacing the unavailable
-    download."""
+    download. ``ood_classes`` adds held-out classes beyond the declared
+    num_classes (mirroring the real corpus's 42 ID + 8 OOD layout)."""
     import wave
 
     rng = np.random.default_rng(seed)
@@ -344,7 +376,7 @@ def make_fake_luma(
     per_class = train_per_class + test_per_class
 
     rows_a, rows_t, img_rows = [], [], []
-    for c in range(n_classes):
+    for c in range(n_classes + ood_classes):
         label = f"class_{c}"
         for i in range(per_class):
             rel = f"audio/{label}_{i}.wav"
@@ -368,7 +400,7 @@ def make_fake_luma(
     (root / "metadata.yaml").write_text(
         yaml.safe_dump({
             "num_classes": n_classes,
-            "num_ood_classes": 0,
+            "num_ood_classes": ood_classes,
             "train_samples_per_class": train_per_class,
             "test_samples_per_class": test_per_class,
         })

@@ -30,6 +30,12 @@ def main(argv=None):
     parser.add_argument("--use-ood", action="store_true",
                         help="include the 8 OOD classes (reference knob "
                              "dataset_luma.py:56,173; disabled there too)")
+    parser.add_argument("--ood-eval", action="store_true",
+                        help="after each model, score the held-out OOD "
+                             "classes' test rows by evidential uncertainty "
+                             "and report OOD-vs-ID AUROC (eval/ood.py; NEW "
+                             "capability — the reference ships OOD classes "
+                             "but never evaluates them)")
     parser.add_argument("--dmvae-epochs", type=int, default=None)
     parser.add_argument("--probe-epochs", type=int, default=None)
     parser.add_argument("--vmap-seeds", action="store_true",
@@ -45,10 +51,14 @@ def main(argv=None):
     from .common import add_mesh_args, build_runner_mesh
     add_mesh_args(parser)
     args = parser.parse_args(argv)
+    if args.use_ood and args.ood_eval:
+        parser.error("--use-ood trains on ALL classes, leaving no held-out "
+                     "set for --ood-eval; pick one")
 
     configure()
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     mesh = build_runner_mesh(args.data_parallel, args.model_parallel)
 
@@ -62,12 +72,14 @@ def main(argv=None):
         embed_dataset_chunked,
     )
     from ..core.train import train, train_many
-    from ..data.luma import get_luma_arrays
+    from ..data.luma import get_luma_arrays, get_luma_ood_arrays
     from ..eval.analysis import (
+        _task_evidences,
         build_metrics_dataframe_datasets,
         evaluate_subjective_model,
         evaluate_subjective_model_with_shared,
     )
+    from ..eval.ood import evaluate_ood
     from ..models.layers import AudioEncoder, ImageEncoder, TextEncoder
     from .common import load_config, main_columns, make_getter, write_report
 
@@ -118,6 +130,29 @@ def main(argv=None):
     # per-view feature shapes for encoder init (audio is a 2D
     # (n_mfcc, frames) map when data.audio.use_2d is set)
     view_shapes = [tuple(x.shape[1:]) for x in xs_tr_np]
+
+    xs_ood = None
+    if args.ood_eval:
+        xs_ood_np, y_ood_np, _n_id = get_luma_ood_arrays(
+            data_path, audio_cfg, text_cfg, image_cfg,
+            replicate_image_bug=args.replicate_image_bug,
+        )
+        if len(y_ood_np) == 0:
+            print("--ood-eval: corpus declares no held-out OOD classes; "
+                  "skipping OOD scoring", flush=True)
+        else:
+            xs_ood = tuple(jnp.asarray(x) for x in xs_ood_np)
+            # labels are outside the ID head range; evidences ignore y
+            y_ood = jnp.zeros(len(y_ood_np), y_tr.dtype)
+            print(f"OOD eval: {len(y_ood_np)} held-out rows from "
+                  f"{len(np.unique(y_ood_np))} OOD classes", flush=True)
+    ood_rows: dict = {}
+
+    def ood_info(task, params, ms, id_data, ood_data):
+        """OOD-vs-ID AUROC from fused evidential uncertainty."""
+        ev_id = task.aggregation(_task_evidences(task, params, id_data, ms))
+        ev_ood = task.aggregation(_task_evidences(task, params, ood_data, ms))
+        return evaluate_ood(np.asarray(ev_id), np.asarray(ev_ood), num_classes)
 
     def encoders():
         # run_luma.py:199-203
@@ -193,6 +228,12 @@ def main(argv=None):
                       "y": jnp.broadcast_to(y_te, (len(seeds),) + y_te.shape)}
         lf_train = {"xs": xs_tr, "y": y_tr}
         lf_test = {"xs": xs_te, "y": y_te}
+        probe_ood = lf_ood = None
+        if xs_ood is not None:
+            zc_o, zp_o = embed_all(xs_ood)
+            probe_ood = {"zc": zc_o, "zp": zp_o,
+                         "y": jnp.broadcast_to(y_ood, (len(seeds),) + y_ood.shape)}
+            lf_ood = {"xs": xs_ood, "y": y_ood}
 
         def builders_for(j):
             if j == 0:
@@ -243,6 +284,10 @@ def main(argv=None):
                     info = evaluate_subjective_model(task, p_i, te_i, ms_i)
                 else:
                     info = evaluate_subjective_model_with_shared(task, p_i, te_i, ms_i)
+                if xs_ood is not None:
+                    od = lf_ood if is_lf else jax.tree.map(lambda a: a[i], probe_ood)
+                    info["ood"] = ood_info(task, p_i, ms_i, te_i, od)
+                    ood_rows.setdefault(name, []).append(info["ood"])
                 info["path"] = save_checkpoint(
                     f"checkpoints/{name}_fusion_dsLUMA_seed{s}", p_i,
                     {"model": name, "dataset": "LUMA", "seed": s},
@@ -292,6 +337,11 @@ def main(argv=None):
         probe_test = {"zc": zc_te, "zp": zp_te, "y": y_te}
         lf_train = {"xs": xs_tr, "y": y_tr}
         lf_test = {"xs": xs_te, "y": y_te}
+        probe_ood = lf_ood = None
+        if xs_ood is not None:
+            zc_o, zp_o = embed_dataset_chunked(model, dmvae_params, xs_ood, dmvae_state)
+            probe_ood = {"zc": zc_o, "zp": zp_o, "y": y_ood}
+            lf_ood = {"xs": xs_ood, "y": y_ood}
 
         jobs = [(
             "dmvae_dis",
@@ -336,6 +386,10 @@ def main(argv=None):
                 info = evaluate_subjective_model(task, res_m.params, te_d, res_m.model_state)
             else:
                 info = evaluate_subjective_model_with_shared(task, res_m.params, te_d, res_m.model_state)
+            if xs_ood is not None:
+                od = lf_ood if name.endswith("_fusion") else probe_ood
+                info["ood"] = ood_info(task, res_m.params, res_m.model_state, te_d, od)
+                ood_rows.setdefault(name, []).append(info["ood"])
             log_training_csv(f"{name}_fusion_dsLUMA_seed{seed}", res_m)
             path = save_checkpoint(
                 f"checkpoints/{name}_fusion_dsLUMA_seed{seed}", res_m.params,
@@ -361,6 +415,24 @@ def main(argv=None):
         {"main_grouped": df_main_grouped, "all_results": df, "grouped_results": df_grouped},
         "logs/luma_analysis.xlsx",
     )
+    if ood_rows:
+        import json
+        from pathlib import Path
+
+        summary = {
+            name: {
+                k: float(np.mean([r[k] for r in rs]))
+                for k in rs[0]
+            }
+            for name, rs in ood_rows.items()
+        }
+        Path("logs").mkdir(exist_ok=True)
+        Path("logs/luma_ood.json").write_text(
+            json.dumps({"mean": summary, "per_seed": ood_rows}, indent=1))
+        for name, s in summary.items():
+            print(f"OOD {name}: " + " ".join(f"{k}={v:.3f}" for k, v in s.items()),
+                  flush=True)
+        print("OOD AUROC written to logs/luma_ood.json", flush=True)
     print(f"LUMA protocol done in {time.time() - t_start:.1f}s")
     return df
 

@@ -177,6 +177,29 @@ def test_fake_luma_pipeline(tmp_path):
     assert smoke(["--data-path", root]) == 0
 
 
+def test_luma_ood_arrays(tmp_path):
+    """get_luma_ood_arrays returns only held-out-class test rows, and the
+    feature cache keys ID vs OOD sample sets separately."""
+    from disentagled_multimodal_fusion_tpu.data.luma import (
+        get_luma_arrays, get_luma_ood_arrays, make_fake_luma,
+    )
+
+    root = make_fake_luma(
+        tmp_path / "luma", n_classes=3, train_per_class=3, test_per_class=2,
+        ood_classes=2)
+    xs_tr, y_tr, xs_te, y_te, n_cls, _, _ = get_luma_arrays(root)
+    assert n_cls == 3 and set(np.unique(y_te)) == {0, 1, 2}
+
+    xs_ood, y_ood, n_id = get_luma_ood_arrays(root)
+    assert n_id == 3
+    assert len(y_ood) == 2 * 2  # 2 OOD classes x 2 test rows
+    assert set(np.unique(y_ood)) == {3, 4}
+    assert xs_ood[0].shape[0] == len(y_ood)
+    # ID arrays unchanged by the OOD pass (distinct cache files)
+    xs_te2 = get_luma_arrays(root)[2]
+    assert np.allclose(xs_te[0], xs_te2[0])
+
+
 def test_fake_luma_use_2d(tmp_path):
     """data.audio.use_2d: the featurizer emits full (n_mfcc, frames) MFCC
     maps and the 2D-spectrogram AudioEncoder branch consumes them — the

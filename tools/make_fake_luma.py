@@ -27,6 +27,9 @@ def main():
     p.add_argument("--test-per-class", type=int, default=2)
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ood-classes", type=int, default=0,
+                   help="extra held-out classes beyond --classes (the real "
+                        "corpus's 42 ID + 8 OOD layout); enables --ood-eval")
     args = p.parse_args()
 
     from disentagled_multimodal_fusion_tpu.data.luma import make_fake_luma
@@ -36,6 +39,7 @@ def main():
         train_per_class=args.train_per_class,
         test_per_class=args.test_per_class,
         sample_rate=args.sample_rate, seed=args.seed,
+        ood_classes=args.ood_classes,
     )
     print(f"fake LUMA corpus at {root}")
 
