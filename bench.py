@@ -272,10 +272,14 @@ def main():
             "flops_per_sec": round(vmap_flops / (vmap_ms / 1000.0), 3) if vmap_ms else None,
         },
         "note": (
-            "HBM-bound on f32 param/Adam-state traffic: 33.3MB params x "
-            "~11 moves/step x 16 steps -> 7.16 ms/epoch roofline at 819 "
-            "GB/s; measured value sits at ~99% of that floor (see module "
-            "docstring), so XLA is at speed-of-light for this workload"
+            "headline value uses the parity-first default "
+            "(jax_default_matmul_precision=highest: true-f32 matmuls via "
+            "multi-pass MXU emulation — the EDL stack is numerically "
+            "knife-edged under 1-pass bf16, see core/setup.py). The HBM "
+            "roofline is 7.16 ms/epoch (33.3MB params x ~11 moves/step x "
+            "16 steps at 819 GB/s); the bf16_epoch_ms variant runs at "
+            "~roofline, so the f32 premium (~2x) is the measured price of "
+            "bit-parity, not an implementation gap"
         ),
     }
     print(json.dumps(out))

@@ -8,12 +8,17 @@ fit). Here the full dataset lives in device memory and training is
 
     lax.scan over epochs
       -> per-epoch shuffle via jax.random.permutation
-      -> lax.scan over fixed-shape batches (tail batch padded + masked)
+      -> lax.scan over full fixed-shape batches
+      -> one extra step on the EXACT-size ragged tail batch (its own
+         static shape) when n % batch_size != 0 and drop_last=False
       -> optional per-epoch validation pass (for plateau LR + histories)
 
-compiled once by XLA. Losses use masked means so padded tail batches
-reproduce the exact ragged-batch means PyTorch computes
-(drop_last False/True both supported).
+compiled once by XLA. The ragged tail keeps its true size — same rows,
+same batch statistics as PyTorch's DataLoader — so stateful models
+(BatchNorm) are bit-faithful too, not just the loss (a padded+masked tail
+would keep the loss exact but let pad rows pollute the batch statistics).
+Loss functions still receive a {0,1} mask per row (all-ones here) so
+custom maskings keep working.
 
 Functional equivalents of the reference's stateful pieces:
   * ``criterion.annealing_step += 1`` per epoch (evidential_probe.py:124)
@@ -111,20 +116,28 @@ def _plateau_update(cfg: OptimizerConfig, state, metric):
 
 
 def _epoch_batches(key, n: int, batch_size: int, drop_last: bool, shuffle: bool):
-    """Static-shape batch plan: (steps, B) indices + (steps, B) {0,1} mask."""
-    if drop_last:
-        steps = n // batch_size
-        total = steps * batch_size
-    else:
-        steps = -(-n // batch_size)
-        total = steps * batch_size
+    """Static-shape batch plan: full batches + an EXACT-size ragged tail.
+
+    Returns ``(idx_full (S, B), idx_tail (r,))`` with ``r = n % B`` (0 under
+    drop_last, and then the tail array is empty). The tail batch keeps its
+    true ragged size — same as PyTorch's DataLoader — so stateful models
+    (BatchNorm) see the exact rows, not pad-duplicates: padding the tail
+    and masking only the loss would let the pad rows pollute the batch
+    statistics even though the loss ignores them.
+    """
+    if drop_last and n // batch_size == 0:
+        raise ValueError(
+            f"drop_last=True with n_train={n} < batch_size={batch_size}: "
+            f"zero optimizer steps per epoch (the loss would be 0/0=NaN "
+            f"and params would never update); shrink batch_size or use "
+            f"drop_last=False"
+        )
+    steps_full = n // batch_size
+    r = 0 if drop_last else n % batch_size
     perm = jax.random.permutation(key, n) if shuffle else jnp.arange(n)
-    pad = total - n
-    idx = jnp.concatenate([perm, jnp.zeros(pad, perm.dtype)]) if pad > 0 else perm[:total]
-    mask = jnp.concatenate(
-        [jnp.ones(min(n, total), jnp.float32), jnp.zeros(max(pad, 0), jnp.float32)]
-    )[:total]
-    return idx.reshape(steps, batch_size), mask.reshape(steps, batch_size)
+    idx_full = perm[: steps_full * batch_size].reshape(steps_full, batch_size)
+    idx_tail = perm[steps_full * batch_size : steps_full * batch_size + r]
+    return idx_full, idx_tail
 
 
 def train(
@@ -202,8 +215,7 @@ def train(
             """Shard rows over 'data'; zero-pad to a shardable multiple.
 
             Pad rows are inert: the batch plan only ever gathers indices
-            < n_train, so training math is unchanged (the padded batch-tail
-            masking in _epoch_batches is a separate mechanism).
+            < n_train, so training math is unchanged.
             """
             pad = (-a.shape[0]) % n_dp
             if pad:
@@ -418,15 +430,29 @@ def make_train_program(
         def epoch_fn(carry, epoch):
             params, opt_state, mstate, key, plateau, gstep = carry
             key, k_perm, k_steps = jax.random.split(key, 3)
-            idx, mask = _epoch_batches(k_perm, n_train, batch_size, drop_last, shuffle)
-            step_keys = jax.random.split(k_steps, idx.shape[0])
-            lr = lr_for_epoch(epoch, plateau[0])
-            (params, opt_state, mstate, _, _, gstep), losses = jax.lax.scan(
-                step_fn, (params, opt_state, mstate, lr, epoch, gstep),
-                (idx, mask, step_keys),
+            idx_full, idx_tail = _epoch_batches(
+                k_perm, n_train, batch_size, drop_last, shuffle
             )
-            # Weight per-batch means by valid counts for the exact epoch mean.
-            counts = jnp.sum(mask, axis=1)
+            r = idx_tail.shape[0]  # static ragged-tail size (n % B)
+            steps_full = idx_full.shape[0]
+            step_keys = jax.random.split(k_steps, steps_full + (1 if r else 0))
+            lr = lr_for_epoch(epoch, plateau[0])
+            masks_full = jnp.ones((steps_full, batch_size), jnp.float32)
+            carry_s = (params, opt_state, mstate, lr, epoch, gstep)
+            carry_s, losses = jax.lax.scan(
+                step_fn, carry_s, (idx_full, masks_full, step_keys[:steps_full]),
+            )
+            counts = jnp.full((steps_full,), float(batch_size))
+            if r:
+                # one extra step on the EXACT-size tail batch (its own
+                # compiled shape) — bit-faithful to torch's ragged loader
+                carry_s, tail_loss = step_fn(
+                    carry_s, (idx_tail, jnp.ones((r,), jnp.float32), step_keys[-1]),
+                )
+                losses = jnp.concatenate([losses, tail_loss[None]])
+                counts = jnp.concatenate([counts, jnp.full((1,), float(r))])
+            params, opt_state, mstate, _, _, gstep = carry_s
+            # Weight per-batch means by batch sizes for the exact epoch mean.
             train_loss = jnp.sum(losses * counts) / jnp.sum(counts)
 
             if val_fn is not None:

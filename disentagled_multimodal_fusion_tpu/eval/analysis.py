@@ -142,8 +142,16 @@ def evaluate_evidences(
 
 def _task_evidences(task, params, data, model_state=None):
     if getattr(task, "model_state", None) is not None or model_state is not None:
-        state = model_state if model_state is not None else task.model_state
-        return task.evidences_fn(params, data, state)
+        if model_state is None:
+            # task.model_state is the INIT-time BatchNorm stats — evaluating
+            # a trained stateful model with them gives quietly wrong numbers
+            raise ValueError(
+                "this task carries model state (BatchNorm stats); pass the "
+                "TRAINED model_state (TrainResult.model_state) to evaluate — "
+                "falling back to the initialization-time stats would produce "
+                "silently wrong metrics"
+            )
+        return task.evidences_fn(params, data, model_state)
     return task.evidences_fn(params, data)
 
 

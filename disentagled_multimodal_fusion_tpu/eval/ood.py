@@ -18,7 +18,10 @@ from ..ops.dirichlet import dirichlet_uncertainties
 
 
 def auroc(scores_pos: np.ndarray, scores_neg: np.ndarray) -> float:
-    """Rank-based AUROC: P(score_pos > score_neg) with tie correction."""
+    """Rank-based AUROC: P(score_pos > score_neg) with tie correction.
+    NaN when either side is empty (undefined, not an error)."""
+    if len(scores_pos) == 0 or len(scores_neg) == 0:
+        return float("nan")
     scores = np.concatenate([scores_pos, scores_neg])
     order = scores.argsort(kind="mergesort")
     ranks = np.empty_like(order, dtype=np.float64)

@@ -65,6 +65,10 @@ def discounted_belief_fusion(all_evidences: jax.Array, flambda: float = 3.0) -> 
     Fully vectorised over the view axis (no Python loop).
     """
     num_classes = all_evidences.shape[-1]
+    # NOTE: near-duplicates ops/dirichlet.py::dc_loss's alpha/S/p/u block on
+    # purpose — the reference's dbf divides by S exactly (utils.py:94-97)
+    # while its dc loss divides by S + 1e-8 (losses.py:173-174); both are
+    # pinned by golden tests, so do NOT factor them into one helper.
     denominator = jnp.sum(all_evidences + 1.0, axis=-1, keepdims=True)  # (B, V, 1)
     prob = (all_evidences + 1.0) / denominator                          # (B, V, C)
     belief = all_evidences / denominator                                # (B, V, C)

@@ -60,7 +60,10 @@ def evidential_head_fused(x, w1, b1, w2, b2, interpret: bool = False):
     b, d = x.shape
     h = w1.shape[1]
     c = w2.shape[1]
-    bp = _round_up(max(b, 8), 8)
+    # pad B to a multiple of the batch tile so the grid covers every row
+    # (bp // tile_b with a non-multiple silently dropped the tail tile)
+    tile_b = min(_round_up(max(b, 8), 8), 512)
+    bp = _round_up(max(b, 8), tile_b)
     cp = _round_up(max(c, 128), 128)
     hp = _round_up(max(h, 128), 128)
     dp = _round_up(max(d, 128), 128)
@@ -71,7 +74,6 @@ def evidential_head_fused(x, w1, b1, w2, b2, interpret: bool = False):
     w2p = jnp.zeros((hp, cp), jnp.float32).at[:h, :c].set(w2.astype(jnp.float32))
     b2p = jnp.zeros((1, cp), jnp.float32).at[0, :c].set(b2.astype(jnp.float32))
 
-    tile_b = min(bp, 512)
     grid = (bp // tile_b,)
     out = pl.pallas_call(
         _head_kernel,

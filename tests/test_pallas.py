@@ -57,3 +57,17 @@ def test_stacked_heads():
     for i in range(v):
         ref = _ref(xs[i], w1s[i], b1s[i], w2s[i], b2s[i])
         np.testing.assert_allclose(out[:, i], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_large_unaligned_batch_tail_rows():
+    """Regression: B > tile (512) and not a tile multiple — the grid must
+    cover the tail tile (600 // 512 == 1 silently dropped rows 512+)."""
+    b, d, h, c = 600, 40, 32, 10
+    x = RNG.standard_normal((b, d)).astype(np.float32)
+    w1 = (RNG.standard_normal((d, h)) * 0.1).astype(np.float32)
+    b1 = np.zeros(h, np.float32)
+    w2 = (RNG.standard_normal((h, c)) * 0.1).astype(np.float32)
+    b2 = np.zeros(c, np.float32)
+    out = np.asarray(evidential_head_fused(x, w1, b1, w2, b2, interpret=INTERPRET))
+    ref = _ref(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)

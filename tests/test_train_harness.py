@@ -51,17 +51,19 @@ def test_plateau_matches_torch():
         )
 
 
-def test_epoch_batches_mask():
-    idx, mask = _epoch_batches(jax.random.PRNGKey(0), 10, 4, drop_last=False, shuffle=True)
-    assert idx.shape == (3, 4) and mask.shape == (3, 4)
-    assert float(mask.sum()) == 10
-    # every real index appears exactly once among the valid slots
-    valid = np.asarray(idx)[np.asarray(mask) == 1]
-    assert sorted(valid.tolist()) == list(range(10))
+def test_epoch_batches_ragged_tail():
+    idx, tail = _epoch_batches(jax.random.PRNGKey(0), 10, 4, drop_last=False, shuffle=True)
+    assert idx.shape == (2, 4) and tail.shape == (2,)  # exact-size tail
+    # every real index appears exactly once across full batches + tail
+    all_idx = np.concatenate([np.asarray(idx).ravel(), np.asarray(tail)])
+    assert sorted(all_idx.tolist()) == list(range(10))
 
-    idx, mask = _epoch_batches(jax.random.PRNGKey(0), 10, 4, drop_last=True, shuffle=True)
-    assert idx.shape == (2, 4)
-    assert float(mask.sum()) == 8
+    idx, tail = _epoch_batches(jax.random.PRNGKey(0), 10, 4, drop_last=True, shuffle=True)
+    assert idx.shape == (2, 4) and tail.shape == (0,)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="zero optimizer steps"):
+        _epoch_batches(jax.random.PRNGKey(0), 3, 8, drop_last=True, shuffle=True)
 
 
 def test_train_linear_regression_converges():
@@ -119,3 +121,30 @@ def test_train_with_validation_and_plateau():
     )
     assert float(res.val_acc[-1]) > 0.9
     assert np.all(np.isfinite(np.asarray(res.val_loss)))
+
+
+def test_ragged_tail_batch_statistics_exact():
+    """Stateful models must see the EXACT tail rows, not pad-duplicates:
+    a fake-BN state records each batch's row-mean; after one epoch with
+    shuffle=False and n % B != 0, the state is the mean of the true tail
+    rows (the old padded+masked tail polluted it with copies of row 0)."""
+    from disentagled_multimodal_fusion_tpu.core.train import OptimizerConfig, train
+
+    n, b, d = 10, 4, 3
+    x = np.arange(n * d, dtype=np.float32).reshape(n, d)
+    data = {"x": jnp.asarray(x)}
+    params = {"w": jnp.zeros((d,))}
+
+    def loss_fn(params, batch, mask, t, key, state):
+        xb = batch["x"]
+        loss = jnp.sum((xb @ params["w"]) ** 2 * mask) / jnp.maximum(mask.sum(), 1.0)
+        return loss, jnp.mean(xb, axis=0)  # "batch statistics"
+
+    res = train(
+        rng=jax.random.PRNGKey(0), params=params, loss_fn=loss_fn, data=data,
+        n_train=n, optimizer=OptimizerConfig(name="adam", lr=0.0), epochs=1,
+        batch_size=b, drop_last=False, shuffle=False, donate=False,
+        model_state=jnp.zeros((d,)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.model_state), x[8:10].mean(axis=0), rtol=1e-6)
