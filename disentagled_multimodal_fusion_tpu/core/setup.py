@@ -17,6 +17,13 @@ def configure(cache_dir: str = "/tmp/jax_cache") -> None:
     # is fine but extremely noisy.
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
+    # Join a multi-host cluster BEFORE the first backend use (env-var
+    # driven no-op single-process): jax.distributed.initialize must precede
+    # jax.default_backend() below, or it raises on real pods.
+    from ..parallel.distributed import initialize as _dist_init
+
+    _dist_init()
+
     import jax
 
     # Parity-first numerics: f32 matmuls stay true f32 on the MXU. TPU's

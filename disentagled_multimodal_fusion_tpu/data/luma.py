@@ -155,6 +155,10 @@ class LUMADataset:
             for i in range(len(a)):
                 self.samples.append({
                     "audio_idx": a.iloc[i].name,
+                    # no-label-column fallback `i` is the reference's own
+                    # behavior (dataset_luma.py:212): a within-class position
+                    # used as a global row index — misaligned, kept verbatim
+                    # (the real compiled corpus always has the label column)
                     "text_idx": t.iloc[i].name if t is not None else i,
                     # the reference computed image_idx here but dropped it
                     # (dataset_luma.py:210-219) — we keep it (bug fix).
@@ -290,7 +294,24 @@ class LUMADataset:
         tag = ("_ood" if self.use_ood else "") + (
             "_2d" if self.audio_config.get("use_2d", False) else ""
         )
-        cache_file = self.data_path / f"features_{self.split}{tag}.npz"
+        # key the cache on everything that changes the features: a stale
+        # features_*.npz from a different audio/text/image config or
+        # replicate_image_bug setting must not be silently reused
+        import json
+        import zlib
+
+        cfg_digest = zlib.crc32(json.dumps(
+            {
+                "audio": self.audio_config,
+                "text": self.text_config,
+                "image": self.image_config,
+                "image_bug": self.replicate_image_bug,
+            },
+            sort_keys=True, default=str,
+        ).encode())
+        cache_file = (
+            self.data_path / f"features_{self.split}{tag}_{cfg_digest:08x}.npz"
+        )
         if self.cache and cache_file.exists():
             z = np.load(cache_file)
             return (z["audio"], z["text"], z["image"]), z["y"]

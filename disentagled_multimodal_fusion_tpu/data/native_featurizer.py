@@ -91,7 +91,15 @@ def featurize_wav_files(
         )
         if failures == 0:
             return out
-        # fall through to numpy for robustness if any file failed
+        # repair ONLY the failed rows (the C side zero-fills them; a real
+        # MFCC-mean row is never all-zero) instead of re-running the whole
+        # corpus through the slow numpy path
+        from .audio import wav_to_mfcc_mean
+
+        bad = np.where(~out.any(axis=1))[0]
+        for i in bad:
+            out[i] = wav_to_mfcc_mean(paths[i], sample_rate, max_length_s, n_mfcc)
+        return out
     from .audio import wav_to_mfcc_mean
 
     return np.stack([

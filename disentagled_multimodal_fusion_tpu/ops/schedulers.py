@@ -36,6 +36,16 @@ def exponential_schedule(
     base: float = 10.0,
 ):
     """Log-space linear ramp: base ** linear(log_base(start) -> log_base(end))."""
+    if start_value <= 0 or end_value <= 0:
+        # the reference crashes identically (utils.py:35 math.log(0)) — e.g.
+        # DisentangledSSL's lmd ramp with the DEFAULT lmd_start_value=0 and
+        # any lmd_end_value>0; surface the cause instead of a domain error
+        raise ValueError(
+            f"exponential_schedule needs start_value and end_value > 0 "
+            f"(got {start_value}, {end_value}); the log-space ramp is "
+            f"undefined at 0 — use a small positive start (e.g. 1e-4) or "
+            f"linear_schedule"
+        )
     log_start = math.log(start_value, base)
     log_end = math.log(end_value, base)
     lin = linear_schedule(iteration, log_start, log_end, n_iterations, start_iteration)

@@ -2,6 +2,7 @@
 
 from .distributed import (
     global_mesh,
+    host_local_block,
     initialize,
     process_rows,
     shard_global,

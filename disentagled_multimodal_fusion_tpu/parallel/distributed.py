@@ -47,17 +47,27 @@ def initialize(
     True when a multi-process runtime was (or already is) initialized,
     False for the plain single-process regime.
 
-    Safe to call more than once: a RuntimeError from an already-started
-    distributed runtime is swallowed.
+    ORDER MATTERS: jax.distributed.initialize must run before the first
+    backend use, so this function deliberately avoids touching the backend
+    (no jax.process_count / jax.devices) until after the cluster config is
+    resolved. core.setup.configure() calls it first for exactly that
+    reason. Safe to call more than once.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized (e.g. by a launcher)
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes if num_processes is not None else int(
         os.environ.get("JAX_NUM_PROCESSES", "0") or 0
     )
     if addr is None and nproc <= 1:
-        return False  # single-process: nothing to join
+        return False  # no cluster config: leave JAX untouched
+    # already joined (e.g. by a launcher)? check the distributed client
+    # directly — jax.process_count() would initialize the backend.
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return jax.process_count() > 1
+    except ImportError:  # private-module layout changed; fall through
+        pass
     pid = process_id if process_id is not None else int(
         os.environ.get("JAX_PROCESS_ID", "0") or 0
     )
@@ -68,8 +78,18 @@ def initialize(
             process_id=pid,
             local_device_ids=local_device_ids,
         )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg:
+            pass
+        elif "before" in msg:
+            raise RuntimeError(
+                "jax.distributed.initialize must run BEFORE the first JAX "
+                "backend use in this process; call core.setup.configure() "
+                "(or parallel.distributed.initialize()) before any jax "
+                "operation"
+            ) from e
+        else:
             raise
     return jax.process_count() > 1
 
@@ -113,21 +133,47 @@ def process_rows(
     return slice(pid * per, min(n, (pid + 1) * per))
 
 
-def shard_global(pytree, mesh: Mesh, spec: P):
-    """Place ``pytree`` on ``mesh`` under ``spec``, multi-process-safe.
+def host_local_block(arr, spec: P, process_id=None, num_processes=None):
+    """This process's block of a GLOBAL array under ``spec``.
 
-    Single-process: plain sharded device_put (zero-copy reshard when the
-    value is already on device). Multi-process: each process passes ONLY
-    its host-local rows (see ``process_rows``) and the global array view
-    is assembled without any cross-host copy of array data.
+    Leading-axis-sharded specs (P('data'), ...) slice the process's
+    contiguous row range; replicated/inner-only specs return the array
+    whole. Assumes the mesh axis orders devices process-contiguously —
+    true for ``global_mesh`` (jax.devices() lists process 0's devices
+    first) — and that the leading dim divides evenly over processes (the
+    train_many mesh check enforces it).
+    """
+    if len(spec) == 0 or spec[0] is None:
+        return arr
+    return arr[process_rows(arr.shape[0], process_id, num_processes)]
+
+
+def shard_global(pytree, mesh: Mesh, spec: P):
+    """Place GLOBAL pytrees on ``mesh`` under ``spec``, multi-process-safe.
+
+    Callers always pass the full global arrays (every host materializes
+    the same values — cheap at this framework's KB-MB scales). Single
+    process: plain sharded device_put (zero-copy reshard when the value is
+    already on device). Multi-process: each process extracts ITS block
+    (``host_local_block``) and the global array view is assembled via
+    ``jax.make_array_from_process_local_data`` with the true global shape
+    — no cross-host copy, and no device_put onto non-addressable devices.
+    To avoid materializing the full array per host (huge corpora), load
+    only ``process_rows`` and call make_array_from_process_local_data
+    directly.
     """
     sh = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sh), pytree)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-        pytree,
-    )
+
+    def place(x):
+        arr = np.asarray(x)
+        local = host_local_block(arr, spec)
+        return jax.make_array_from_process_local_data(
+            sh, np.ascontiguousarray(local), global_shape=arr.shape
+        )
+
+    return jax.tree.map(place, pytree)
 
 
 def shard_instances_global(pytree, mesh: Mesh, axis: str = "data"):

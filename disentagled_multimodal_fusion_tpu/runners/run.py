@@ -30,7 +30,7 @@ from ..core.setup import configure
 
 def run_condition(
     *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out,
-    fused_dmvae=True, mesh=None,
+    fused_dmvae=True, noise=False, mesh=None,
 ):
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -57,14 +57,14 @@ def run_condition(
     n_tr = int(train_frac * n)
     train_idx, test_idx = idx[:n_tr], idx[n_tr:]
 
-    if conflict:
+    if conflict or noise:
         pp = C("data.conflict", {}) or {}
         dataset.postprocessing(
             test_idx,
-            addNoise=pp.get("addNoise", False),
+            addNoise=noise or pp.get("addNoise", False),
             sigma=pp.get("sigma", 0.5),
-            ratio_noise=pp.get("ratio_noise", 0.0),
-            addConflict=pp.get("addConflict", True),
+            ratio_noise=1.0 if noise else pp.get("ratio_noise", 0.0),
+            addConflict=conflict and pp.get("addConflict", True),
             ratio_conflict=pp.get("ratio_conflict", 1.0),
             rng=None,
         )
@@ -112,7 +112,7 @@ def run_condition(
         mesh=mesh, tp_hidden_dim=C("dmvae.hidden_dim", 512),
     )
     dmvae_params = res.params
-    cond = "conflict" if conflict else "normal"
+    cond = "conflict" if conflict else ("noise" if noise else "normal")
     save_checkpoint(
         f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
         dmvae_params, {"dataset": dataset_name, "seed": seed, "cond": cond},
@@ -174,7 +174,7 @@ def run_condition(
         else:
             info = evaluate_subjective_model_with_shared(task, res_m.params, te_data)
         model_name = (f"{name}_fusion_ds{dataset_name}_seed{seed}"
-                      + ("_conflict" if conflict else ""))
+                      + ("_conflict" if conflict else "_noise" if noise else ""))
         log_training_csv(model_name, res_m)
         path = save_checkpoint(
             f"checkpoints/{model_name}",
@@ -400,6 +400,15 @@ def main(argv=None):
         help="matmul compute dtype (params/losses stay f32; bfloat16 runs "
              "encoder/decoder/head matmuls on the MXU in bf16)",
     )
+    parser.add_argument(
+        "--rows-file", default=None, metavar="PATH",
+        help="crash-resilient sweeps: after every (condition, dataset) cell "
+             "the accumulated result rows are checkpointed to PATH (JSON); "
+             "on restart, completed cells are skipped and the report is "
+             "built once all requested cells exist. Lets a wrapper simply "
+             "re-invoke the sweep until it completes (NEW capability — the "
+             "reference loses everything on a crash)",
+    )
     from .common import add_mesh_args, build_runner_mesh
     add_mesh_args(parser)
     args = parser.parse_args(argv)
@@ -444,9 +453,40 @@ def main(argv=None):
 
     t_start = time.time()
     rows = {}
+
+    # ---- crash-resilient rows checkpoint (--rows-file) ----
+    import json
+    from pathlib import Path
+
+    def _cell_complete(cond_name, ds_name):
+        return all(
+            len(rows.get(s, {}).get(cond_name, {}).get(ds_name, {})) >= 6
+            for s in seeds
+        )
+
+    if args.rows_file and Path(args.rows_file).exists():
+        saved = json.loads(Path(args.rows_file).read_text())
+        rows = {int(s): conds for s, conds in saved.items()}
+        n_cells = sum(
+            1 for c in ("Normal", "Conflict", "Noise")
+            for d in (normal_ds if c == "Normal" else conflict_ds)
+            if _cell_complete(c, d)
+        )
+        print(f"--rows-file: resuming; {n_cells} completed cell(s) found",
+              flush=True)
+
+    def _save_rows():
+        if not args.rows_file:
+            return
+        tmp = Path(args.rows_file).with_suffix(".tmp")
+        tmp.write_text(json.dumps(rows))
+        tmp.replace(args.rows_file)
+
     if args.vmap_seeds:
         for seed in seeds:
-            rows[seed] = {c: {} for c in args.conditions}
+            rows.setdefault(seed, {})
+            for c in args.conditions:
+                rows[seed].setdefault(c, {})
         # "Noise" condition (addNoise on test rows, sigma from
         # data.conflict.sigma) — the reference's config knob
         # (configs/config.yaml:13-18) that its drivers never sweep
@@ -458,6 +498,10 @@ def main(argv=None):
             if cond_name not in args.conditions:
                 continue
             for ds_name in ds_list:
+                if args.rows_file and _cell_complete(cond_name, ds_name):
+                    print(f"  [{ds_name}/{cond_name}] already complete "
+                          f"(--rows-file), skipping", flush=True)
+                    continue
                 rows_by_seed = {s: {} for s in seeds}
                 run_condition_vmapped(
                     C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
@@ -467,37 +511,38 @@ def main(argv=None):
                 )
                 for s in seeds:
                     rows[s][cond_name][ds_name] = rows_by_seed[s]
+                _save_rows()
     else:
         for seed in seeds:
-            rows[seed] = {}
-            if "Normal" in args.conditions:
-                rows[seed]["Normal"] = {}
-                for ds_name in normal_ds:
-                    rows[seed]["Normal"][ds_name] = {}
+            rows.setdefault(seed, {})
+            for cond_name, ds_list, is_conflict, is_noise in [
+                ("Normal", normal_ds, False, False),
+                ("Conflict", conflict_ds, True, False),
+                ("Noise", conflict_ds, False, True),
+            ]:
+                if cond_name not in args.conditions:
+                    continue
+                rows[seed].setdefault(cond_name, {})
+                for ds_name in ds_list:
+                    if (args.rows_file
+                            and len(rows[seed][cond_name].get(ds_name, {})) >= 6):
+                        print(f"  [{ds_name}/{cond_name}/seed{seed}] already "
+                              f"complete (--rows-file), skipping", flush=True)
+                        continue
+                    rows[seed][cond_name][ds_name] = {}
                     run_condition(
-                        C=C, seed=seed, dataset_name=ds_name, conflict=False,
-                        quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
-                        rows_out=rows[seed]["Normal"][ds_name],
+                        C=C, seed=seed, dataset_name=ds_name, conflict=is_conflict,
+                        noise=is_noise, quick=args.quick, jax=jax, jnp=jnp, np=np,
+                        builders=builders, rows_out=rows[seed][cond_name][ds_name],
                         fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
                     )
-            if "Conflict" in args.conditions:
-                rows[seed]["Conflict"] = {}
-                for ds_name in conflict_ds:
-                    rows[seed]["Conflict"][ds_name] = {}
-                    run_condition(
-                        C=C, seed=seed, dataset_name=ds_name, conflict=True,
-                        quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
-                        rows_out=rows[seed]["Conflict"][ds_name],
-                        fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
-                    )
+                    _save_rows()
 
     df = build_metrics_dataframe_datasets(rows)
     df["seed"] = df["seed"].astype(int)
     df_main = main_columns(df, ["seed", "type", "dataset", "model"])
     df_grouped = (
-        df.drop(columns=[c for c in df.columns if df[c].dtype == object and c not in
-                         ("type", "dataset", "model")], errors="ignore")
-        .groupby(["type", "dataset", "model"]).mean().reset_index()
+        df.groupby(["type", "dataset", "model"]).mean().reset_index()
         .sort_values(["type", "dataset", "model"])
     )
     df_main_grouped = (

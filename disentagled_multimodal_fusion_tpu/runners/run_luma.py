@@ -88,8 +88,10 @@ def main(argv=None):
     data_path = args.data_path or C("data.luma_path", "data/luma_compiled")
     batch_size = C("dataloader.batch_size", 64)
     luma_lr = C("optim.luma_lr", 3e-4)
-    dmvae_epochs = args.dmvae_epochs or C("dmvae.num_epochs", 3)
-    probe_epochs = args.probe_epochs or C("probes.model_epochs", 2)
+    dmvae_epochs = (args.dmvae_epochs if args.dmvae_epochs is not None
+                    else C("dmvae.num_epochs", 3))
+    probe_epochs = (args.probe_epochs if args.probe_epochs is not None
+                    else C("probes.model_epochs", 2))
     embed_dim = C("dmvae.embed_dim", 200)
     probe_input_dim = C("probes.input_dim", 200)
     probe_hidden = tuple(C("probes.model_hidden_dim", (128,)))

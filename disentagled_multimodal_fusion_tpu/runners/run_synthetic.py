@@ -153,6 +153,12 @@ def main(argv=None):
                 epochs=dmvae_epochs, batch_size=batch_size, drop_last=True,
                 mesh=mesh,
             )
+            for i, s in enumerate(seeds):
+                save_checkpoint(
+                    f"checkpoints/dmvae_seed{s}_dep{dep}",
+                    jax.tree.map(lambda a: a[i], res.params),
+                    {"seed": s, "dep": dep, "model": "dmvae"},
+                )
             embed_v = jax.jit(jax.vmap(lambda p, xs: embed_dataset(model, p, xs)))
             zc_tr, zp_tr = embed_v(res.params, xs_tr)
             zc_va, zp_va = embed_v(res.params, xs_va)
@@ -206,6 +212,18 @@ def main(argv=None):
                     else:
                         info = evaluate_subjective_model(task, p_i, va_i)
                     rows[s].setdefault(dep, {})[label] = info
+                    # same per-seed artifacts as the sequential path
+                    from ..core.train import TrainResult
+                    csv_name = (f"dmvae_fusion_seed{s}_dep{dep}" if with_shared
+                                else f"late_fusion_seed{s}_dep{dep}_agg{label}")
+                    log_training_csv(csv_name, TrainResult(
+                        params=None, train_loss=res_m.train_loss[i],
+                        val_loss=res_m.val_loss[i], val_acc=res_m.val_acc[i],
+                        final_lr=res_m.final_lr[i]))
+                    save_checkpoint(
+                        f"checkpoints/{csv_name}", p_i,
+                        {"seed": s, "dep": dep, "model": label},
+                    )
             accs = [rows[s][dep]["dmvae_cml"]["fused"]["accuracy"] for s in seeds]
             print(f"[dep {dep}] x{len(seeds)} seeds: dmvae_cml fused acc "
                   f"{np.mean(accs):.3f} +/- {np.std(accs):.3f} "

@@ -268,3 +268,22 @@ def test_global_mesh_model_groups_contiguous():
     assert ids.shape == (len(jax.devices()) // 2, 2)
     for row in ids:
         assert row[1] == row[0] + 1  # contiguous -> same host/slice
+
+
+def test_host_local_block_partition():
+    """shard_global's multi-process slicing: leading-sharded specs give each
+    process its contiguous block; replicated specs pass the array whole."""
+    from disentagled_multimodal_fusion_tpu.parallel.distributed import (
+        host_local_block,
+    )
+
+    x = np.arange(8 * 3).reshape(8, 3)
+    blocks = [host_local_block(x, P("data"), process_id=p, num_processes=4)
+              for p in range(4)]
+    assert all(b.shape == (2, 3) for b in blocks)
+    np.testing.assert_array_equal(np.concatenate(blocks), x)
+    # replicated / inner-only: full array on every process
+    np.testing.assert_array_equal(
+        host_local_block(x, P(), process_id=1, num_processes=4), x)
+    np.testing.assert_array_equal(
+        host_local_block(x, P(None, "model"), process_id=1, num_processes=4), x)
