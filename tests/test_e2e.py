@@ -181,3 +181,25 @@ def test_checkpoint_roundtrip(tmp_path, synth, dmvae_backbone):
     restored = restore_checkpoint(path, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sweep_rows_file_resume(tmp_path, capsys):
+    """--rows-file: a completed (condition, dataset) cell is checkpointed
+    and skipped on re-invocation; the rebuilt report matches the original."""
+    import json
+
+    from disentagled_multimodal_fusion_tpu.runners.run import main as run_main
+
+    rows_file = str(tmp_path / "rows.json")
+    argv = ["--quick", "--seeds", "0", "--datasets", "CUB",
+            "--conditions", "Normal", "--rows-file", rows_file]
+    df1 = run_main(argv)
+    saved = json.loads((tmp_path / "rows.json").read_text())
+    assert len(saved["0"]["Normal"]["CUB"]) == 6  # all six models recorded
+
+    df2 = run_main(argv)  # resumes: trains nothing, rebuilds the report
+    out = capsys.readouterr().out
+    assert "already complete (--rows-file), skipping" in out
+    assert df1.shape == df2.shape
+    np.testing.assert_allclose(
+        df1["fused_accuracy"].to_numpy(), df2["fused_accuracy"].to_numpy())
