@@ -41,6 +41,8 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), jax.device_get(target)
+        # np.asarray(...).dtype: tolerate python-scalar leaves (ints/floats)
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        jax.device_get(target),
     )
     return ckptr.restore(Path(path).resolve(), abstract)

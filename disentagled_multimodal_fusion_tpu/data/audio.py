@@ -21,14 +21,57 @@ import numpy as np
 
 
 # ------------------------------------------------------------------ WAV IO
+def _read_wav_float(path: str) -> Tuple[np.ndarray, int]:
+    """Minimal RIFF parser for IEEE-float WAVs (fmt tag 3 / extensible),
+    which the stdlib wave module rejects ('unknown format: 3') — without
+    this the numpy fallback's input domain is narrower than the native
+    decoder's."""
+    import struct
+
+    with open(path, "rb") as f:
+        if f.read(4) != b"RIFF":
+            raise ValueError("not a RIFF file")
+        f.read(4)
+        if f.read(4) != b"WAVE":
+            raise ValueError("not a WAVE file")
+        fmt = channels = bits = rate = None
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            tag, sz = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            body = f.read(sz)
+            if sz & 1:
+                f.read(1)  # RIFF pad byte
+            if tag == b"fmt ":
+                fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt == 0xFFFE and len(body) >= 26:
+                    fmt = struct.unpack("<H", body[24:26])[0]
+            elif tag == b"data":
+                data = body
+        if fmt != 3 or data is None or not channels:
+            raise ValueError(f"unsupported WAV (fmt={fmt})")
+        dt = {32: "<f4", 64: "<f8"}.get(bits)
+        if dt is None:
+            raise ValueError(f"unsupported float width {bits}")
+        arr = np.frombuffer(data, dtype=dt).astype(np.float32)
+    return arr.reshape(-1, channels).T.copy(), rate
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a PCM/float WAV file -> (float32 (channels, n), sample_rate)."""
-    with wave.open(str(path), "rb") as w:
-        n_channels = w.getnchannels()
-        width = w.getsampwidth()
-        rate = w.getframerate()
-        n = w.getnframes()
-        raw = w.readframes(n)
+    try:
+        with wave.open(str(path), "rb") as w:
+            n_channels = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except wave.Error:
+        # stdlib wave rejects IEEE-float WAVs; parse those directly
+        return _read_wav_float(path)
     if width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:

@@ -187,9 +187,15 @@ class WordPieceTokenizer:
         return self.encode(text, max_length)
 
 
+# anchored to the repo root (three levels above this file), not the CWD —
+# a CWD-relative default silently missed the vendored vocab whenever the
+# process ran from another directory, hash-degrading the text features
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 DEFAULT_VOCAB_LOCATIONS = (
-    "data/bert-base-uncased-vocab.txt",
+    "data/bert-base-uncased-vocab.txt",  # CWD-relative (kept first)
+    str(_REPO_ROOT / "data" / "bert-base-uncased-vocab.txt"),
     "data/luma_compiled/bert-base-uncased-vocab.txt",
+    str(_REPO_ROOT / "data" / "luma_compiled" / "bert-base-uncased-vocab.txt"),
 )
 
 

@@ -199,7 +199,10 @@ def read_xlsx(path) -> Dict[str, List[List[object]]]:
                       for si in sst.findall("m:si", ns)]
         for sheet in wb.findall("m:sheets/m:sheet", ns):
             target = rel_map[sheet.get(f"{{{ns['r']}}}id")]
-            ws = ET.fromstring(zf.read(f"xl/{target.lstrip('/')}"))
+            # OPC: absolute part names resolve from the package root,
+            # relative ones from the workbook's directory (xl/)
+            part = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+            ws = ET.fromstring(zf.read(part))
             rows = []
             for row in ws.findall("m:sheetData/m:row", ns):
                 vals: List[object] = []

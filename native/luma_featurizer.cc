@@ -152,11 +152,18 @@ void mfcc_mean_impl(const float* mono, int64_t n, const MfccTables& t,
   const int pad = t.n_fft / 2;
   const int64_t padded = n + 2 * pad;
   std::vector<double> x(padded);
-  // reflect padding
+  // reflect padding with repeated reflection (np.pad 'reflect' semantics:
+  // odd extension with period 2*(n-1)); a single bounce reads out of
+  // bounds whenever pad >= n
+  const int64_t period = 2 * (n - 1);
   for (int64_t i = 0; i < padded; ++i) {
     int64_t j = i - pad;
-    if (j < 0) j = -j;
-    if (j >= n) j = 2 * (n - 1) - j;
+    if (n == 1) {
+      j = 0;
+    } else {
+      j = ((j % period) + period) % period;
+      if (j >= n) j = period - j;
+    }
     x[i] = mono[j];
   }
   const int64_t frames = 1 + (padded - t.n_fft) / t.hop;
@@ -211,7 +218,7 @@ bool read_wav_file(const char* path, std::vector<float>* mono_out,
   std::vector<uint8_t> data;
   while (std::fread(tag, 1, 4, f) == 4 && rd_u32(&sz)) {
     if (!std::strncmp(tag, "fmt ", 4)) {
-      uint32_t brate, balign32;
+      uint32_t brate;
       uint16_t balign;
       rd_u16(&fmt);
       rd_u16(&channels);
@@ -221,20 +228,40 @@ bool read_wav_file(const char* path, std::vector<float>* mono_out,
       rd_u16(&bits);
       (void)brate;
       (void)balign;
-      (void)balign32;
-      if (sz > 16) std::fseek(f, sz - 16, SEEK_CUR);
+      uint32_t consumed = 16;
+      if (fmt == 0xFFFE && sz >= 16 + 2 + 22) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format tag is the first u16 of
+        // the SubFormat GUID (after cbSize, validBits, channelMask)
+        uint16_t cb = 0, valid_bits = 0, sub = 0;
+        uint32_t mask = 0;
+        rd_u16(&cb);
+        rd_u16(&valid_bits);
+        rd_u32(&mask);
+        rd_u16(&sub);
+        (void)valid_bits;
+        (void)mask;
+        fmt = sub;  // 1 = PCM, 3 = IEEE float
+        consumed += 2 + 2 + 4 + 2;
+      }
+      if (sz > consumed) std::fseek(f, (long)(sz - consumed), SEEK_CUR);
+      if (sz & 1) std::fseek(f, 1, SEEK_CUR);
     } else if (!std::strncmp(tag, "data", 4)) {
       data.resize(sz);
       if (std::fread(data.data(), 1, sz, f) != sz) {
         std::fclose(f);
         return false;
       }
+      if (sz & 1) std::fseek(f, 1, SEEK_CUR);  // RIFF pad byte
     } else {
       std::fseek(f, sz + (sz & 1), SEEK_CUR);
     }
   }
   std::fclose(f);
-  if (data.empty() || channels == 0) return false;
+  // accept PCM (1) and IEEE float (3) with byte-aligned sample widths
+  if (data.empty() || channels == 0 || bits < 8 || (bits % 8) != 0 ||
+      (fmt != 1 && fmt != 3)) {
+    return false;
+  }
 
   const int64_t frames = (int64_t)data.size() / (channels * (bits / 8));
   std::vector<float> mono(frames, 0.0f);
@@ -243,10 +270,16 @@ bool read_wav_file(const char* path, std::vector<float>* mono_out,
     for (int c = 0; c < channels; ++c) {
       const uint8_t* p = data.data() + (i * channels + c) * (bits / 8);
       double v = 0.0;
-      if (fmt == 3 && bits == 32) {  // IEEE float
+      if (fmt == 3 && bits == 32) {  // IEEE float32
         float fv;
         std::memcpy(&fv, p, 4);
         v = fv;
+      } else if (fmt == 3 && bits == 64) {  // IEEE float64
+        double dv;
+        std::memcpy(&dv, p, 8);
+        v = dv;
+      } else if (fmt == 3) {
+        return false;  // float with unexpected width
       } else if (bits == 16) {
         int16_t iv;
         std::memcpy(&iv, p, 2);
@@ -284,9 +317,12 @@ int mfcc_mean(const float* mono, int64_t n, int sample_rate, int n_mfcc,
   return 0;
 }
 
-// Full reference pipeline: wav path -> 40-dim feature. Returns 0 on success.
-int featurize_wav(const char* path, int sample_rate, double max_length_s,
-                  int n_mfcc, float* out) {
+// Full reference pipeline: wav path -> n_mfcc feature. Returns 0 on success.
+// n_mels is fixed at 40 to match the numpy pipeline's default
+// (data/audio.py::mfcc, mirroring torchaudio's melkwargs) for ANY n_mfcc.
+static int featurize_wav_with_tables(const char* path, int sample_rate,
+                                     double max_length_s,
+                                     const MfccTables& t, float* out) {
   std::vector<float> mono;
   int rate = 0;
   if (!read_wav_file(path, &mono, &rate)) return 1;
@@ -294,9 +330,14 @@ int featurize_wav(const char* path, int sample_rate, double max_length_s,
   int64_t target = (int64_t)(max_length_s * sample_rate);
   if ((int64_t)mono.size() > target) mono.resize(target);
   while ((int64_t)mono.size() < target) mono.push_back(0.0f);
-  MfccTables t = make_tables(sample_rate, n_mfcc, n_mfcc, 400, 200);
   mfcc_mean_impl(mono.data(), target, t, out);
   return 0;
+}
+
+int featurize_wav(const char* path, int sample_rate, double max_length_s,
+                  int n_mfcc, float* out) {
+  MfccTables t = make_tables(sample_rate, n_mfcc, /*n_mels=*/40, 400, 200);
+  return featurize_wav_with_tables(path, sample_rate, max_length_s, t, out);
 }
 
 // Batch version over many files (the offline compile hot path).
@@ -313,11 +354,14 @@ int featurize_batch(const char* paths, int n_paths, int sample_rate,
       p += std::strlen(p) + 1;
     }
   }
+  // Tables depend only on (sample_rate, n_mfcc): build ONCE, share
+  // read-only across the parallel corpus loop.
+  const MfccTables t = make_tables(sample_rate, n_mfcc, /*n_mels=*/40, 400, 200);
   int failures = 0;
 #pragma omp parallel for schedule(dynamic) reduction(+ : failures)
   for (int i = 0; i < n_paths; ++i) {
-    if (featurize_wav(ptrs[i], sample_rate, max_length_s, n_mfcc,
-                      out + (size_t)i * n_mfcc) != 0) {
+    if (featurize_wav_with_tables(ptrs[i], sample_rate, max_length_s, t,
+                                  out + (size_t)i * n_mfcc) != 0) {
       ++failures;
       for (int k = 0; k < n_mfcc; ++k) out[(size_t)i * n_mfcc + k] = 0.0f;
     }

@@ -328,3 +328,44 @@ def test_luma_text_fallback_warns_loudly(tmp_path, monkeypatch):
     monkeypatch.setattr(wordpiece, "DEFAULT_VOCAB_LOCATIONS", ())
     assert wordpiece.find_local_vocab(None) is None
     assert wordpiece.find_local_vocab(str(tmp_path / "missing.txt")) is None
+
+
+def test_wav_float32_and_short_input_decoding(tmp_path):
+    """Decoder-robustness regressions: IEEE-float32 WAVs decode identically
+    in the native and numpy paths (stdlib wave rejects fmt=3, the native
+    int32 branch used to mangle it), and sub-pad-length inputs use repeated
+    reflection instead of reading out of bounds."""
+    import struct
+
+    from disentagled_multimodal_fusion_tpu.data.audio import (
+        mfcc, read_wav, wav_to_mfcc_mean,
+    )
+    from disentagled_multimodal_fusion_tpu.data.native_featurizer import (
+        available, featurize_wav_files, mfcc_mean_native,
+    )
+
+    # hand-rolled float32 WAV (fmt tag 3)
+    sig = (RNG.standard_normal(8000) * 0.1).astype("<f4")
+    raw = sig.tobytes()
+    p = tmp_path / "f32.wav"
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000,
+                                      16000 * 4, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(raw)) + raw)
+
+    wav, rate = read_wav(str(p))
+    assert rate == 16000
+    np.testing.assert_allclose(wav[0], sig, atol=1e-6)
+
+    ref = wav_to_mfcc_mean(str(p), sample_rate=16000, max_length_s=0.5)
+    feats = featurize_wav_files([str(p)], sample_rate=16000, max_length_s=0.5)
+    np.testing.assert_allclose(feats[0], ref, atol=5e-3)
+
+    # short input: n=100 < pad=200 -> np.pad repeated reflection; native must
+    # match (the single-bounce version read out of bounds here)
+    short = (RNG.standard_normal(100) * 0.1).astype(np.float32)
+    ref_s = mfcc(short).mean(axis=1)
+    if available():
+        nat_s = mfcc_mean_native(short)
+        np.testing.assert_allclose(nat_s, ref_s, atol=1e-4)
