@@ -369,3 +369,32 @@ def test_wav_float32_and_short_input_decoding(tmp_path):
     if available():
         nat_s = mfcc_mean_native(short)
         np.testing.assert_allclose(nat_s, ref_s, atol=1e-4)
+
+
+def test_caltech_loader_on_fixture(tmp_path, monkeypatch):
+    """The Caltech101-20 .mat is missing from the reference snapshot
+    (.MISSING_LARGE_BLOBS), so exercise the loader (reference
+    dataset.py:304-310 structure: X object-array .squeeze(), Y key) on a
+    synthetic .mat with the documented view dims — it must activate as
+    soon as the real file appears."""
+    import scipy.io as sio
+
+    import disentagled_multimodal_fusion_tpu.data.multiview as mv
+
+    dims = [48, 40, 254, 1984, 512, 928]  # reference dataset.py:305 comment
+    n, c = 40, 4
+    views = np.empty((len(dims),), dtype=object)
+    for i, d in enumerate(dims):
+        views[i] = RNG.random((n, d)).astype(np.float64)
+    y = (np.repeat(np.arange(c), n // c) + 1).reshape(-1, 1)  # 1-based
+    (tmp_path / "data").mkdir()
+    sio.savemat(tmp_path / "data" / "Caltech101-20.mat",
+                {"X": views.reshape(1, -1), "Y": y})
+
+    monkeypatch.setattr(mv, "DATA_DIR", tmp_path / "data")
+    ds = mv.DATASET_REGISTRY["CalTech"]()
+    assert ds.num_views == 6 and len(ds) == n and ds.num_classes == c
+    assert [int(d[0]) for d in ds.dims] == dims
+    xs, labels = ds.arrays()
+    assert labels.min() == 0 and labels.max() == c - 1  # 0-based shift
+    assert all(v.min() >= 0.0 and v.max() <= 1.0 for v in xs)  # minmaxed
