@@ -401,6 +401,12 @@ def main(argv=None):
              "encoder/decoder/head matmuls on the MXU in bf16)",
     )
     parser.add_argument(
+        "--profile", action="store_true",
+        help="collect a jax.profiler trace of the sweep to logs/traces/ "
+             "(view with TensorBoard or Perfetto; §5.1 capability the "
+             "reference lacks entirely)",
+    )
+    parser.add_argument(
         "--rows-file", default=None, metavar="PATH",
         help="crash-resilient sweeps: after every (condition, dataset) cell "
              "the accumulated result rows are checkpointed to PATH (JSON); "
@@ -453,6 +459,15 @@ def main(argv=None):
 
     t_start = time.time()
     rows = {}
+
+    _profile_stack = None
+    if args.profile:
+        import contextlib
+
+        from ..core.logging import trace
+
+        _profile_stack = contextlib.ExitStack()
+        _profile_stack.enter_context(trace("uq_sweep"))
 
     # ---- crash-resilient rows checkpoint (--rows-file) ----
     import json
@@ -537,6 +552,10 @@ def main(argv=None):
                         fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
                     )
                     _save_rows()
+
+    if _profile_stack is not None:
+        _profile_stack.close()
+        print("profiler trace written to logs/traces/uq_sweep", flush=True)
 
     df = build_metrics_dataframe_datasets(rows)
     df["seed"] = df["seed"].astype(int)
