@@ -26,16 +26,23 @@ def configure(cache_dir: str = "/tmp/jax_cache") -> None:
 
     import jax
 
-    # Parity-first numerics: f32 matmuls stay true f32 on the MXU. TPU's
-    # DEFAULT precision computes f32 matmuls as bf16-multiply passes, and
-    # the EDL stack (saturated-exp evidence -> digamma losses) sits on a
-    # knife edge where that perturbation occasionally flips a training
-    # trajectory into the zero-evidence collapse (observed: PIE LateFusion
-    # seed 4 — 0.463 under DEFAULT vs 0.868 under f32, torch 0.890; see
-    # results/parity_check_pie.json history). The hot programs are
-    # HBM-bound (docs/PERF.md), so this costs ~nothing; explicit bf16
-    # compute stays available via the --dtype bfloat16 product knob.
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # Parity-first numerics: TPU's DEFAULT precision computes f32 matmuls
+    # as 1-pass bf16 multiplies, and the EDL stack (saturated-exp evidence
+    # -> digamma losses) sits on a knife edge where that perturbation
+    # occasionally flips a training trajectory into the zero-evidence
+    # collapse (observed: PIE LateFusion seed 4 — 0.463 under DEFAULT vs
+    # 0.868 under f32, torch 0.890). "high" (3-pass bf16 synthesis,
+    # ~f32-accurate) restores exact per-seed tracking of the torch replica
+    # on the PIE knife-edge and every other parity cell (round-2
+    # validation: all 6 models x 4 datasets + synthetic under both "high"
+    # and "highest" — same gaps), at ~30% less step time than "highest"'s
+    # full f32 emulation (bench: 9.2 vs 13.1 ms/epoch). Explicit bf16
+    # compute stays available via the --dtype bfloat16 product knob;
+    # DMF_MATMUL_PRECISION=highest|high|default overrides for experiments.
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("DMF_MATMUL_PRECISION", "high"),
+    )
 
     # The axon sitecustomize force-registers the TPU plugin and overrides
     # the JAX_PLATFORMS env var via jax.config; re-apply the user's request
