@@ -63,7 +63,9 @@ def _run_child(hashseed: str) -> dict:
     env.pop("XLA_FLAGS", None)  # single-device child is fine and compiles faster
     out = subprocess.run(
         [sys.executable, "-c", _CHILD.replace("@@ROOT@@", str(REPO_ROOT))],
-        capture_output=True, text=True, env=env, timeout=600,
+        # generous: each child compiles from scratch, and on the 1-CPU host
+        # a concurrent sweep can stretch that well past 10 minutes
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     return json.loads(out.stdout.strip().splitlines()[-1])
