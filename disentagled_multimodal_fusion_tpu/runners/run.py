@@ -30,7 +30,7 @@ from ..core.setup import configure
 
 def run_condition(
     *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out,
-    fused_dmvae=True, noise=False, mesh=None,
+    fused_dmvae=True, noise=False, mesh=None, include_intermediate=False,
 ):
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -159,6 +159,19 @@ def run_condition(
             ),
             lf_train, lf_test,
         ))
+    if include_intermediate:
+        # 7th model (reference baselines.py:153-252, defined but never
+        # swept there): concat fusion -> single evidential head
+        from ..core.tasks import build_intermediate_fusion_task
+
+        jobs.append((
+            "intermediate_fusion",
+            build_intermediate_fusion_task(
+                rng=keys[15], output_dims=dims, num_classes=num_classes,
+                dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
+            ),
+            lf_train, lf_test,
+        ))
 
     for i, (name, task, tr_data, te_data) in enumerate(jobs):
         res_m = train(
@@ -168,8 +181,9 @@ def run_condition(
             val_fn=task.val_fn, val_data=te_data,
             mesh=mesh, tp_hidden_dim=probe_hidden[0],
         )
-        # dispatch mirrors run.py:252-255
-        if name == "dmvae_dis":
+        # dispatch mirrors run.py:252-255 (intermediate has ONE head ->
+        # per-view layout; with_shared needs V >= 2)
+        if name in ("dmvae_dis", "intermediate_fusion"):
             info = evaluate_subjective_model(task, res_m.params, te_data)
         else:
             info = evaluate_subjective_model_with_shared(task, res_m.params, te_data)
@@ -193,7 +207,7 @@ def run_condition(
 
 def run_condition_vmapped(
     *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
-    fused_dmvae=True, noise=False, mesh=None,
+    fused_dmvae=True, noise=False, mesh=None, include_intermediate=False,
 ):
     """Seed-vectorised variant of run_condition: all seeds of one
     (dataset, condition) cell train as ONE vmapped program per model type
@@ -343,6 +357,16 @@ def run_condition_vmapped(
         ("cml_fusion", lf_builder("cml"), lf_train, lf_test),
         ("avg_fusion", lf_builder("avg"), lf_train, lf_test),
     ]
+    if include_intermediate:
+        from ..core.tasks import build_intermediate_fusion_task
+
+        def imf_builder(k):
+            return build_intermediate_fusion_task(
+                rng=k, output_dims=dims, num_classes=num_classes,
+                dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
+            )
+
+        jobs.append(("intermediate_fusion", imf_builder, lf_train, lf_test))
     for j, (name, builder, tr_d, te_d) in enumerate(jobs):
         tasks = [builder(jax.random.fold_in(k, 10 + j)) for k in seed_keys]
         task = tasks[0]
@@ -357,7 +381,7 @@ def run_condition_vmapped(
         for s, seed in enumerate(seeds):
             params_s = jax.tree.map(lambda a: a[s], res_m.params)
             te_s = jax.tree.map(lambda a: a[s], te_d)
-            if name == "dmvae_dis":
+            if name in ("dmvae_dis", "intermediate_fusion"):
                 info = evaluate_subjective_model(task, params_s, te_s)
             else:
                 info = evaluate_subjective_model_with_shared(task, params_s, te_s)
@@ -399,6 +423,12 @@ def main(argv=None):
         "--dtype", choices=["float32", "bfloat16"], default="float32",
         help="matmul compute dtype (params/losses stay f32; bfloat16 runs "
              "encoder/decoder/head matmuls on the MXU in bf16)",
+    )
+    parser.add_argument(
+        "--include-intermediate", action="store_true",
+        help="also sweep the IntermediateFusion baseline (concat -> single "
+             "evidential head; reference baselines.py:153-252, defined "
+             "there but never swept)",
     )
     parser.add_argument(
         "--profile", action="store_true",
@@ -473,9 +503,11 @@ def main(argv=None):
     import json
     from pathlib import Path
 
+    n_models = 7 if args.include_intermediate else 6
+
     def _cell_complete(cond_name, ds_name):
         return all(
-            len(rows.get(s, {}).get(cond_name, {}).get(ds_name, {})) >= 6
+            len(rows.get(s, {}).get(cond_name, {}).get(ds_name, {})) >= n_models
             for s in seeds
         )
 
@@ -523,6 +555,7 @@ def main(argv=None):
                     quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                     rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
                     noise=is_noise, mesh=mesh,
+                    include_intermediate=args.include_intermediate,
                 )
                 for s in seeds:
                     rows[s][cond_name][ds_name] = rows_by_seed[s]
@@ -540,7 +573,7 @@ def main(argv=None):
                 rows[seed].setdefault(cond_name, {})
                 for ds_name in ds_list:
                     if (args.rows_file
-                            and len(rows[seed][cond_name].get(ds_name, {})) >= 6):
+                            and len(rows[seed][cond_name].get(ds_name, {})) >= n_models):
                         print(f"  [{ds_name}/{cond_name}/seed{seed}] already "
                               f"complete (--rows-file), skipping", flush=True)
                         continue
@@ -550,6 +583,7 @@ def main(argv=None):
                         noise=is_noise, quick=args.quick, jax=jax, jnp=jnp, np=np,
                         builders=builders, rows_out=rows[seed][cond_name][ds_name],
                         fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
+                        include_intermediate=args.include_intermediate,
                     )
                     _save_rows()
 
