@@ -275,8 +275,8 @@ def main():
             "headline value uses the parity-first default "
             "(jax_default_matmul_precision=high: 3-pass bf16 synthesis — "
             "the EDL stack is numerically knife-edged under the TPU "
-            "DEFAULT 1-pass bf16, and 'high' restores exact per-seed "
-            "torch tracking on the PIE knife-edge at ~30% less step time "
+            "DEFAULT 1-pass bf16, and 'high' restores per-seed torch "
+            "tracking on the PIE knife-edge at ~30% less step time "
             "than full f32 emulation; see core/setup.py). The HBM "
             "roofline is 7.16 ms/epoch (33.3MB params x ~11 moves/step x "
             "16 steps at 819 GB/s); the bf16_epoch_ms variant runs at "

@@ -32,8 +32,9 @@ def configure(cache_dir: str = "/tmp/jax_cache") -> None:
     # occasionally flips a training trajectory into the zero-evidence
     # collapse (observed: PIE LateFusion seed 4 — 0.463 under DEFAULT vs
     # 0.868 under f32, torch 0.890). "high" (3-pass bf16 synthesis,
-    # ~f32-accurate) restores exact per-seed tracking of the torch replica
-    # on the PIE knife-edge and every other parity cell (round-2
+    # ~f32-accurate) restores per-seed tracking of the torch replica to
+    # within one test sample on the PIE knife-edge — no collapse on any
+    # seed — and every other parity cell (round-2
     # validation: all 6 models x 4 datasets + synthetic under both "high"
     # and "highest" — same gaps), at ~30% less step time than "highest"'s
     # full f32 emulation (bench: 9.2 vs 13.1 ms/epoch). Explicit bf16

@@ -440,6 +440,7 @@ def build_intermediate_fusion_task(
     lr: float = 1e-4,
     annealing_start: int = 20,
     feature_encoders: Optional[Tuple] = None,
+    dtype=None,
 ) -> EvidentialTask:
     """Concat fusion -> single head (baselines.py:153-252)."""
     model = IntermediateFusion(
@@ -448,6 +449,7 @@ def build_intermediate_fusion_task(
         hidden_dim=hidden_dim,
         dropout=dropout,
         feature_encoders=feature_encoders,
+        dtype=_norm_dtype(dtype),
     )
     xs0 = [jnp.zeros((2, d)) for d in output_dims]
     variables = model.init({"params": rng, "dropout": rng}, xs0, train=True)

@@ -31,6 +31,7 @@ from ..core.setup import configure
 def run_condition(
     *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out,
     fused_dmvae=True, noise=False, mesh=None, include_intermediate=False,
+    dtype=None,
 ):
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -169,6 +170,7 @@ def run_condition(
             build_intermediate_fusion_task(
                 rng=keys[15], output_dims=dims, num_classes=num_classes,
                 dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
+                dtype=dtype,
             ),
             lf_train, lf_test,
         ))
@@ -208,6 +210,7 @@ def run_condition(
 def run_condition_vmapped(
     *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
     fused_dmvae=True, noise=False, mesh=None, include_intermediate=False,
+    dtype=None,
 ):
     """Seed-vectorised variant of run_condition: all seeds of one
     (dataset, condition) cell train as ONE vmapped program per model type
@@ -364,6 +367,7 @@ def run_condition_vmapped(
             return build_intermediate_fusion_task(
                 rng=k, output_dims=dims, num_classes=num_classes,
                 dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
+                dtype=dtype,
             )
 
         jobs.append(("intermediate_fusion", imf_builder, lf_train, lf_test))
@@ -499,6 +503,13 @@ def main(argv=None):
         _profile_stack = contextlib.ExitStack()
         _profile_stack.enter_context(trace("uq_sweep"))
 
+    def _close_profile():
+        # called from finally: a crashed sweep still flushes the trace —
+        # the crash case is exactly when you want the profile
+        if _profile_stack is not None:
+            _profile_stack.close()
+            print("profiler trace written to logs/traces/uq_sweep", flush=True)
+
     # ---- crash-resilient rows checkpoint (--rows-file) ----
     import json
     from pathlib import Path
@@ -529,67 +540,70 @@ def main(argv=None):
         tmp.write_text(json.dumps(rows))
         tmp.replace(args.rows_file)
 
-    if args.vmap_seeds:
-        for seed in seeds:
-            rows.setdefault(seed, {})
-            for c in args.conditions:
-                rows[seed].setdefault(c, {})
-        # "Noise" condition (addNoise on test rows, sigma from
-        # data.conflict.sigma) — the reference's config knob
-        # (configs/config.yaml:13-18) that its drivers never sweep
-        for cond_name, ds_list, is_conflict, is_noise in [
-            ("Normal", normal_ds, False, False),
-            ("Conflict", conflict_ds, True, False),
-            ("Noise", conflict_ds, False, True),  # Gaussian-noise UQ variant
-        ]:
-            if cond_name not in args.conditions:
-                continue
-            for ds_name in ds_list:
-                if args.rows_file and _cell_complete(cond_name, ds_name):
-                    print(f"  [{ds_name}/{cond_name}] already complete "
-                          f"(--rows-file), skipping", flush=True)
-                    continue
-                rows_by_seed = {s: {} for s in seeds}
-                run_condition_vmapped(
-                    C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
-                    quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
-                    rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
-                    noise=is_noise, mesh=mesh,
-                    include_intermediate=args.include_intermediate,
-                )
-                for s in seeds:
-                    rows[s][cond_name][ds_name] = rows_by_seed[s]
-                _save_rows()
-    else:
-        for seed in seeds:
-            rows.setdefault(seed, {})
+    try:
+        if args.vmap_seeds:
+            for seed in seeds:
+                rows.setdefault(seed, {})
+                for c in args.conditions:
+                    rows[seed].setdefault(c, {})
+            # "Noise" condition (addNoise on test rows, sigma from
+            # data.conflict.sigma) — the reference's config knob
+            # (configs/config.yaml:13-18) that its drivers never sweep
             for cond_name, ds_list, is_conflict, is_noise in [
                 ("Normal", normal_ds, False, False),
                 ("Conflict", conflict_ds, True, False),
-                ("Noise", conflict_ds, False, True),
+                ("Noise", conflict_ds, False, True),  # Gaussian-noise UQ variant
             ]:
                 if cond_name not in args.conditions:
                     continue
-                rows[seed].setdefault(cond_name, {})
                 for ds_name in ds_list:
-                    if (args.rows_file
-                            and len(rows[seed][cond_name].get(ds_name, {})) >= n_models):
-                        print(f"  [{ds_name}/{cond_name}/seed{seed}] already "
-                              f"complete (--rows-file), skipping", flush=True)
+                    if args.rows_file and _cell_complete(cond_name, ds_name):
+                        print(f"  [{ds_name}/{cond_name}] already complete "
+                              f"(--rows-file), skipping", flush=True)
                         continue
-                    rows[seed][cond_name][ds_name] = {}
-                    run_condition(
-                        C=C, seed=seed, dataset_name=ds_name, conflict=is_conflict,
-                        noise=is_noise, quick=args.quick, jax=jax, jnp=jnp, np=np,
-                        builders=builders, rows_out=rows[seed][cond_name][ds_name],
-                        fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
+                    rows_by_seed = {s: {} for s in seeds}
+                    run_condition_vmapped(
+                        C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
+                        quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
+                        rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
+                        noise=is_noise, mesh=mesh,
                         include_intermediate=args.include_intermediate,
+                        dtype=None if args.dtype == "float32" else args.dtype,
                     )
+                    for s in seeds:
+                        rows[s][cond_name][ds_name] = rows_by_seed[s]
                     _save_rows()
+        else:
+            for seed in seeds:
+                rows.setdefault(seed, {})
+                for cond_name, ds_list, is_conflict, is_noise in [
+                    ("Normal", normal_ds, False, False),
+                    ("Conflict", conflict_ds, True, False),
+                    ("Noise", conflict_ds, False, True),
+                ]:
+                    if cond_name not in args.conditions:
+                        continue
+                    rows[seed].setdefault(cond_name, {})
+                    for ds_name in ds_list:
+                        if (args.rows_file
+                                and len(rows[seed][cond_name].get(ds_name, {})) >= n_models):
+                            print(f"  [{ds_name}/{cond_name}/seed{seed}] already "
+                                  f"complete (--rows-file), skipping", flush=True)
+                            continue
+                        rows[seed][cond_name][ds_name] = {}
+                        run_condition(
+                            C=C, seed=seed, dataset_name=ds_name, conflict=is_conflict,
+                            noise=is_noise, quick=args.quick, jax=jax, jnp=jnp, np=np,
+                            builders=builders, rows_out=rows[seed][cond_name][ds_name],
+                            fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
+                            include_intermediate=args.include_intermediate,
+                            dtype=None if args.dtype == "float32" else args.dtype,
+                        )
+                        _save_rows()
 
-    if _profile_stack is not None:
-        _profile_stack.close()
-        print("profiler trace written to logs/traces/uq_sweep", flush=True)
+
+    finally:
+        _close_profile()
 
     df = build_metrics_dataframe_datasets(rows)
     df["seed"] = df["seed"].astype(int)

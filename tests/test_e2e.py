@@ -192,10 +192,13 @@ def test_sweep_rows_file_resume(tmp_path, capsys):
 
     rows_file = str(tmp_path / "rows.json")
     argv = ["--quick", "--seeds", "0", "--datasets", "CUB",
-            "--conditions", "Normal", "--rows-file", rows_file]
+            "--conditions", "Normal", "--rows-file", rows_file,
+            "--include-intermediate"]
     df1 = run_main(argv)
     saved = json.loads((tmp_path / "rows.json").read_text())
-    assert len(saved["0"]["Normal"]["CUB"]) == 6  # all six models recorded
+    # all seven models recorded (incl. the --include-intermediate baseline)
+    assert len(saved["0"]["Normal"]["CUB"]) == 7
+    assert "intermediate_fusion" in saved["0"]["Normal"]["CUB"]
 
     df2 = run_main(argv)  # resumes: trains nothing, rebuilds the report
     out = capsys.readouterr().out

@@ -90,7 +90,7 @@ def test_hash_not_used_for_keys():
                 raise AssertionError(f"{py.name}:{i} seeds PRNGKey with hash(): {line.strip()}")
 
 
-def test_configure_pins_matmul_precision():
+def test_configure_pins_matmul_precision(monkeypatch):
     """Parity-first numerics: configure() must raise matmul precision
     above the TPU DEFAULT (1-pass bf16), which can flip knife-edge EDL
     trainings into the zero-evidence collapse (PIE LateFusion seed 4:
@@ -102,6 +102,13 @@ def test_configure_pins_matmul_precision():
 
     from disentagled_multimodal_fusion_tpu.core.setup import configure
 
+    monkeypatch.delenv("DMF_MATMUL_PRECISION", raising=False)
     configure()
-    assert jax.config.jax_default_matmul_precision in ("high", "highest")
-    assert jax.config.jax_default_matmul_precision == "high"  # the default
+    assert jax.config.jax_default_matmul_precision == "high"
+
+    monkeypatch.setenv("DMF_MATMUL_PRECISION", "highest")
+    configure()
+    assert jax.config.jax_default_matmul_precision == "highest"
+    monkeypatch.delenv("DMF_MATMUL_PRECISION")
+    configure()  # restore the default for later tests in this process
+    assert jax.config.jax_default_matmul_precision == "high"

@@ -8,12 +8,9 @@ of hand transcription:
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
 import pandas as pd
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 RESULTS = Path(__file__).resolve().parent.parent / "results"
 
@@ -49,7 +46,8 @@ def noise_table():
     print("\n| dataset | " + " | ".join(m.replace("_fusion", "") for m in order)
           + " |")
     print("|---" * (len(order) + 1) + "|")
-    for ds in sorted(df["dataset"].unique()):
+    ds_order = [d for d in ("HandWritten", "CUB") if d in set(df["dataset"])]
+    for ds in ds_order:
         cells = []
         for m in order:
             a = g.loc[(ds, m)]
@@ -60,8 +58,7 @@ def noise_table():
 
 def synthetic_table():
     df = pd.read_csv(RESULTS / "synthetic_dataset_main_grouped.csv")
-    cols = ["fused_accuracy"]
-    g = df.groupby(["dep", "model"])[cols + ["shared_accuracy"]].mean()
+    g = df.groupby(["dep", "model"])[["fused_accuracy", "shared_accuracy"]].mean()
     print("\n| dep % | dmvae_cml | cml | avg | dmvae_cml shared-head |")
     print("|---|---|---|---|---|")
     for dep in sorted(df["dep"].unique()):
