@@ -97,11 +97,16 @@ class LUMADataset:
             m = yaml.safe_load(meta.read_text()) or {}
             self.num_classes = m.get("num_classes", 42)
             self.num_ood_classes = m.get("num_ood_classes", 8)
+            # explicit OOD class names (corpus manifest); when present the
+            # ID/OOD split follows THIS list rather than assuming the OOD
+            # classes sort alphabetically after the ID ones
+            self.ood_class_names = m.get("ood_classes")
             # corpus-declared split sizes (e.g. small test fixtures)
             self.train_per_class = m.get("train_samples_per_class", self.train_per_class)
             self.test_per_class = m.get("test_samples_per_class", self.test_per_class)
         else:
             self.num_classes, self.num_ood_classes = 42, 8
+            self.ood_class_names = None
 
     def _load_frames(self):
         audio_csv = self.data_path / "audio_datalist.csv"
@@ -125,10 +130,21 @@ class LUMADataset:
             self.text_df["label"].unique() if "label" in self.text_df.columns else audio_labels
         )
         common = sorted(set(audio_labels) & set(text_labels))
-        self.classes = common if self.use_ood else common[: self.num_classes]
-        self.num_classes = len(self.classes) if self.use_ood else min(
-            self.num_classes, len(self.classes)
-        )
+        if self.ood_class_names is not None:
+            # metadata-designated OOD split: ID classes first (sorted),
+            # then the OOD classes (sorted) — label indices >= num_id are
+            # OOD regardless of how the names interleave alphabetically
+            ood = sorted(set(common) & set(self.ood_class_names))
+            ids = [c for c in common if c not in set(ood)]
+        else:
+            # fallback (fixture corpora without a manifest list): the OOD
+            # classes are assumed to be the alphabetical TAIL beyond
+            # num_classes — true for the synthetic fixture's class_<i>
+            # naming, NOT guaranteed for arbitrary corpora
+            ids, ood = common[: self.num_classes], common[self.num_classes:]
+        self.num_id_classes = len(ids)
+        self.classes = ids + ood if self.use_ood else ids
+        self.num_classes = len(self.classes)
         self.label_to_idx = {lbl: i for i, lbl in enumerate(self.classes)}
 
         self.samples: List[dict] = []
@@ -306,6 +322,10 @@ class LUMADataset:
                 "text": self.text_config,
                 "image": self.image_config,
                 "image_bug": self.replicate_image_bug,
+                # class ORDER defines the label indices; a metadata edit
+                # (e.g. adding an ood_classes manifest) must not silently
+                # reuse features cached under the old ordering
+                "classes": list(self.classes),
             },
             sort_keys=True, default=str,
         ).encode())
@@ -362,19 +382,17 @@ def get_luma_ood_arrays(
 
     The reference corpus ships 42 in-distribution + 8 OOD classes but no
     OOD evaluation ever runs there (compile_luma.py:34-47). Returns
-    (ood_views, ood_labels, num_id_classes); labels are indices into the
-    full (ID+OOD) sorted class list, so every returned label is
+    (ood_views, ood_labels, num_id_classes); the dataset orders ID classes
+    before OOD ones (explicit ``ood_classes`` manifest list when the
+    metadata provides it, alphabetical-tail fallback otherwise — see
+    LUMADataset._organize_by_class), so every returned label is
     >= num_id_classes. Empty arrays when the corpus has no extra classes.
     """
     ds = LUMADataset(
         data_path, "test", audio_config, text_config, image_config,
         use_ood=True, **dataset_kwargs,
     )
-    meta = Path(data_path) / "metadata.yaml"
-    num_id = 42
-    if meta.exists():
-        num_id = (yaml.safe_load(meta.read_text()) or {}).get("num_classes", 42)
-    num_id = min(num_id, ds.num_classes)
+    num_id = ds.num_id_classes
     xs, y = ds.featurize()
     keep = y >= num_id
     return tuple(x[keep] for x in xs), y[keep], num_id
@@ -418,12 +436,17 @@ def make_fake_luma(
     pd.DataFrame(rows_a).to_csv(root / "audio_datalist.csv", index=False)
     pd.DataFrame(rows_t).to_csv(root / "text_data.tsv", sep="\t", index=False)
     pd.DataFrame(img_rows).to_pickle(root / "edm_images.pickle")
-    (root / "metadata.yaml").write_text(
-        yaml.safe_dump({
-            "num_classes": n_classes,
-            "num_ood_classes": ood_classes,
-            "train_samples_per_class": train_per_class,
-            "test_samples_per_class": test_per_class,
-        })
-    )
+    meta = {
+        "num_classes": n_classes,
+        "num_ood_classes": ood_classes,
+        "train_samples_per_class": train_per_class,
+        "test_samples_per_class": test_per_class,
+    }
+    if ood_classes:
+        # explicit manifest list (like a real compiled corpus would carry):
+        # the ID/OOD split must not depend on alphabetical ordering
+        meta["ood_classes"] = [
+            f"class_{c}" for c in range(n_classes, n_classes + ood_classes)
+        ]
+    (root / "metadata.yaml").write_text(yaml.safe_dump(meta))
     return str(root)

@@ -2,7 +2,8 @@
 
 Builds the shared library on demand (g++ is baked into the image) and falls
 back to the pure-numpy pipeline in data/audio.py when unavailable. The two
-implementations agree to f32 round-off (tests/test_native_featurizer.py).
+implementations agree to f32 round-off
+(tests/test_data.py::test_wav_roundtrip_and_native_parity).
 """
 
 from __future__ import annotations
@@ -24,13 +25,19 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not LIB_PATH.exists():
+    src = NATIVE_DIR / "luma_featurizer.cc"
+    stale = (
+        not LIB_PATH.exists()
+        or (src.exists() and src.stat().st_mtime > LIB_PATH.stat().st_mtime)
+    )
+    if stale:
         try:
             subprocess.run(
                 ["make", "-C", str(NATIVE_DIR)], check=True, capture_output=True
             )
         except (subprocess.CalledProcessError, FileNotFoundError):
-            return None
+            if not LIB_PATH.exists():
+                return None  # no library at all; a stale one still works
     try:
         lib = ctypes.CDLL(str(LIB_PATH))
     except OSError:
@@ -91,12 +98,13 @@ def featurize_wav_files(
         )
         if failures == 0:
             return out
-        # repair ONLY the failed rows (the C side zero-fills them; a real
-        # MFCC-mean row is never all-zero) instead of re-running the whole
-        # corpus through the slow numpy path
+        # repair ONLY the failed rows (the C side NaN-fills them — an
+        # unambiguous per-row marker, unlike the old all-zero sentinel a
+        # legitimate row could in principle collide with) instead of
+        # re-running the whole corpus through the slow numpy path
         from .audio import wav_to_mfcc_mean
 
-        bad = np.where(~out.any(axis=1))[0]
+        bad = np.where(np.isnan(out).any(axis=1))[0]
         for i in bad:
             out[i] = wav_to_mfcc_mean(paths[i], sample_rate, max_length_s, n_mfcc)
         return out

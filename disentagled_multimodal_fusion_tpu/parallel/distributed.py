@@ -41,11 +41,14 @@ def initialize(
 ) -> bool:
     """Join the multi-host cluster; no-op when single-process.
 
-    Auto-detects cluster membership from the standard env vars
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — or the
-    TPU pod metadata JAX reads natively) when args are omitted. Returns
-    True when a multi-process runtime was (or already is) initialized,
-    False for the plain single-process regime.
+    Cluster membership is detected from (in priority order): explicit
+    args; the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID env vars; or the standard TPU-pod / MEGASCALE
+    environment markers, in which case ``jax.distributed.initialize()``
+    runs ARGLESS so JAX's own cluster auto-detection resolves the
+    coordinator from pod metadata. With none of those present this is a
+    no-op. Returns True when a multi-process runtime was (or already is)
+    initialized, False for the plain single-process regime.
 
     ORDER MATTERS: jax.distributed.initialize must run before the first
     backend use, so this function deliberately avoids touching the backend
@@ -58,7 +61,33 @@ def initialize(
         os.environ.get("JAX_NUM_PROCESSES", "0") or 0
     )
     if addr is None and nproc <= 1:
-        return False  # no cluster config: leave JAX untouched
+        # No explicit cluster config. On a real TPU pod / multislice the
+        # runtime exports standard markers; hand off to JAX's native
+        # argless auto-detection there instead of silently staying
+        # single-process (each host would otherwise see only its own
+        # devices and train a disconnected replica). The signal must be
+        # genuinely multi-worker: a single-host runtime (e.g. this image's
+        # axon relay) also exports TPU_WORKER_HOSTNAMES=localhost.
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multi_worker = (
+            len([h for h in hostnames.split(",") if h.strip()]) > 1
+            or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+        )
+        if not multi_worker:
+            return False  # no cluster config: leave JAX untouched
+        try:
+            from jax._src import distributed as _dist
+
+            if getattr(_dist.global_state, "client", None) is not None:
+                return jax.process_count() > 1
+        except ImportError:
+            pass
+        try:
+            jax.distributed.initialize()  # argless: JAX pod auto-detection
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
+        return jax.process_count() > 1
     # already joined (e.g. by a launcher)? check the distributed client
     # directly — jax.process_count() would initialize the backend.
     try:
@@ -168,6 +197,18 @@ def shard_global(pytree, mesh: Mesh, spec: P):
 
     def place(x):
         arr = np.asarray(x)
+        if len(spec) and spec[0] is not None and arr.shape[0] % jax.process_count():
+            # ceil-partitioned host blocks would be unequal and
+            # make_array_from_process_local_data would fail with an opaque
+            # shape error deep inside JAX — fail loudly at the entry point
+            # instead (train_many checks divisibility by the mesh 'data'
+            # axis, but not by process count).
+            raise ValueError(
+                f"shard_global: leading dim {arr.shape[0]} of a "
+                f"{spec}-sharded array must divide evenly over "
+                f"{jax.process_count()} processes; pad the batch/instance "
+                f"axis or use a replicated spec"
+            )
         local = host_local_block(arr, spec)
         return jax.make_array_from_process_local_data(
             sh, np.ascontiguousarray(local), global_shape=arr.shape

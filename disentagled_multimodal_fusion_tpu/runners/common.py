@@ -105,6 +105,72 @@ def build_runner_mesh(data_parallel: int = 1, model_parallel: int = 1):
     return mesh
 
 
+def vmap_seeds_unsafe(n_seeds: int, dtype=None):
+    """Known-lethal config on this image's axon TPU relay — returns a
+    reason string when (backend, precision, seed count) is in the blast
+    radius, None otherwise.
+
+    Round-2 reproducer (RESULTS.md / ROADMAP item 0): compiling a >=5-seed
+    vmapped PROBE program under the parity-first f32 matmul-precision
+    default deterministically kills the relay worker ("TPU worker process
+    crashed or restarted"); the compile never finishes, so the persistent
+    compilation cache cannot help. Single-seed programs, the vmapped DMVAE
+    program, bf16 vmapped programs, and CPU virtual meshes all compile the
+    same code fine — the failure is specific to the relay, not to the
+    program, so the product guard (runners auto-fall back to the
+    sequential path with a loud warning; override with
+    --force-vmap-seeds) is scoped to exactly this backend.
+    """
+    if dtype not in (None, "float32"):
+        return None  # bf16 vmapped programs compile fine on the relay
+    if n_seeds < 2:
+        return None
+    try:
+        import jax
+        from jax._src import xla_bridge as xb
+
+        if jax.default_backend() == "tpu" and "axon" in xb.backends():
+            return (
+                f"compiling {n_seeds}-seed vmapped probe programs under the "
+                "f32 parity-first precision default deterministically "
+                "crashes the axon TPU relay (round-2 reproducer: "
+                "run.py --vmap-seeds --datasets HandWritten)"
+            )
+    except Exception:
+        pass  # private-module layout changed; don't block the run
+    return None
+
+
+def guard_vmap_seeds(args, n_seeds: int, dtype=None) -> bool:
+    """Apply vmap_seeds_unsafe to a runner's parsed args: returns the
+    effective vmap-seeds setting, warning loudly on auto-fallback."""
+    if not getattr(args, "vmap_seeds", False):
+        return False
+    reason = vmap_seeds_unsafe(n_seeds, dtype)
+    if reason is None:
+        return True
+    if getattr(args, "force_vmap_seeds", False):
+        print(f"WARNING: --force-vmap-seeds overrides a known-bad config: "
+              f"{reason}", flush=True)
+        return True
+    print(
+        f"WARNING: --vmap-seeds disabled, falling back to sequential "
+        f"per-seed training: {reason}. Use --dtype bfloat16 for a vmapped "
+        f"run on this backend, or --force-vmap-seeds to override.",
+        flush=True,
+    )
+    return False
+
+
+def add_force_vmap_flag(parser) -> None:
+    parser.add_argument(
+        "--force-vmap-seeds", action="store_true",
+        help="skip the axon-relay safety guard and run --vmap-seeds even "
+             "in the known-crash config (see runners/common.py:"
+             "vmap_seeds_unsafe)",
+    )
+
+
 def to_device(arrays):
     """Upload a pytree of numpy arrays to the default device once."""
     import jax

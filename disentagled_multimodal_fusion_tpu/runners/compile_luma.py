@@ -196,6 +196,30 @@ def create_simplified_dataset(raw_dir: Path, out_dir: Path) -> None:
 def featurize(out_dir: Path, replicate_image_bug: bool = False) -> None:
     """Offline featurization (NEW vs the reference — see data/luma.py)."""
     from ..data.luma import LUMADataset
+    from ..data.wordpiece import find_local_vocab
+
+    # Surface the text-feature quality up front, not just from the
+    # featurizer's own warning: without the HF tokenizer (cache/network)
+    # or a vendored vocab.txt the text view degrades to hashed token ids.
+    hf_ok = False
+    try:
+        from transformers import AutoTokenizer
+
+        AutoTokenizer.from_pretrained(
+            "bert-base-uncased",
+            local_files_only=not has_network("huggingface.co"),
+        )
+        hf_ok = True
+    except Exception:
+        pass
+    if find_local_vocab() is None and not hf_ok:
+        print(
+            "  WARNING: no bert-base-uncased vocab found "
+            "(data/bert-base-uncased-vocab.txt) and the HF tokenizer is "
+            "unreachable — TEXT FEATURES WILL BE HASH-DEGRADED (not "
+            "reference-identical). Drop the ~230KB vocab.txt at "
+            "data/bert-base-uncased-vocab.txt to fix."
+        )
 
     for split in ["train", "test"]:
         ds = LUMADataset(str(out_dir), split, replicate_image_bug=replicate_image_bug)

@@ -189,6 +189,9 @@ def run_condition(
             info = evaluate_subjective_model(task, res_m.params, te_data)
         else:
             info = evaluate_subjective_model_with_shared(task, res_m.params, te_data)
+        # NOTE the doubled suffix for LateFusion names (cml_fusion_fusion_
+        # ds...): the reference's own template (run.py:223) — kept verbatim
+        # so checkpoint/log layouts match; runners/evaluate.py documents it
         model_name = (f"{name}_fusion_ds{dataset_name}_seed{seed}"
                       + ("_conflict" if conflict else "_noise" if noise else ""))
         log_training_csv(model_name, res_m)
@@ -449,8 +452,11 @@ def main(argv=None):
              "re-invoke the sweep until it completes (NEW capability — the "
              "reference loses everything on a crash)",
     )
-    from .common import add_mesh_args, build_runner_mesh
+    from .common import (
+        add_force_vmap_flag, add_mesh_args, build_runner_mesh, guard_vmap_seeds,
+    )
     add_mesh_args(parser)
+    add_force_vmap_flag(parser)
     args = parser.parse_args(argv)
 
     configure()
@@ -484,6 +490,9 @@ def main(argv=None):
                 build_late_fusion_task, embed_dataset)
 
     seeds = args.seeds if args.seeds is not None else C("experiment.seeds", [0, 1, 2, 3, 4])
+    # axon-relay safety guard: auto-fallback to the sequential path in the
+    # known-crash config (f32 vmapped probe compiles; see common.py)
+    args.vmap_seeds = guard_vmap_seeds(args, len(seeds), args.dtype)
     normal_ds = args.datasets or C(
         "experiment.normal_datasets", ["CUB", "HandWritten", "PIE", "Scene"]
     )

@@ -35,7 +35,10 @@ def main(argv=None):
                              "classes' test rows by evidential uncertainty "
                              "and report OOD-vs-ID AUROC (eval/ood.py; NEW "
                              "capability — the reference ships OOD classes "
-                             "but never evaluates them)")
+                             "but never evaluates them). OOD classes come "
+                             "from the metadata.yaml 'ood_classes' list "
+                             "when present, else the alphabetical TAIL "
+                             "beyond num_classes is assumed OOD")
     parser.add_argument("--dmvae-epochs", type=int, default=None)
     parser.add_argument("--probe-epochs", type=int, default=None)
     parser.add_argument("--vmap-seeds", action="store_true",
@@ -48,8 +51,11 @@ def main(argv=None):
                         help="split vmapped trainings into exact-resume "
                              "segments of this many epochs (keeps single "
                              "device executions short)")
-    from .common import add_mesh_args, build_runner_mesh
+    from .common import (
+        add_force_vmap_flag, add_mesh_args, build_runner_mesh, guard_vmap_seeds,
+    )
     add_mesh_args(parser)
+    add_force_vmap_flag(parser)
     args = parser.parse_args(argv)
     if args.use_ood and args.ood_eval:
         parser.error("--use-ood trains on ALL classes, leaving no held-out "
@@ -168,6 +174,8 @@ def main(argv=None):
     rows = {}
     t_start = time.time()
 
+    # axon-relay safety guard (see runners/common.py:vmap_seeds_unsafe)
+    args.vmap_seeds = guard_vmap_seeds(args, len(seeds))
     if args.vmap_seeds and len(seeds) > 1:
         # ---- all seeds as one vmapped program per model type; the LUMA
         # corpus is shared across seeds via data_broadcast ----
@@ -201,10 +209,19 @@ def main(argv=None):
         )
         dmvae_params, dmvae_state = res.params, res.model_state
         for i, s in enumerate(seeds):
+            ckpt = f"checkpoints/dmvae_datasetLUMA_seed{s}_a1e-05_normal"
             save_checkpoint(
-                f"checkpoints/dmvae_datasetLUMA_seed{s}_a1e-05_normal",
+                ckpt,
                 jax.tree.map(lambda a: a[i], dmvae_params), {"dataset": "LUMA", "seed": s},
             )
+            if dmvae_state is not None:
+                # feature-encoder BatchNorm stats: without them a reload
+                # (runners/evaluate.py) can't reproduce the evaluation
+                save_checkpoint(
+                    ckpt + "_state",
+                    jax.tree.map(lambda a: a[i], dmvae_state),
+                    {"dataset": "LUMA", "seed": s},
+                )
         print(f"DMVAE x{len(seeds)} seeds trained ({time.time() - t0:.1f}s)", flush=True)
 
         # per-seed, row-chunked embedding: the image CNN's activations for
@@ -294,6 +311,11 @@ def main(argv=None):
                     f"checkpoints/{name}_fusion_dsLUMA_seed{s}", p_i,
                     {"model": name, "dataset": "LUMA", "seed": s},
                 )
+                if ms_i is not None:
+                    save_checkpoint(
+                        f"checkpoints/{name}_fusion_dsLUMA_seed{s}_state", ms_i,
+                        {"model": name, "dataset": "LUMA", "seed": s},
+                    )
                 rows[s]["Normal"]["LUMA"][name] = info
             accs = [rows[s]["Normal"]["LUMA"][name]["fused"]["accuracy"] for s in seeds]
             import numpy as _np
@@ -331,6 +353,11 @@ def main(argv=None):
             f"checkpoints/dmvae_datasetLUMA_seed{seed}_a1e-05_normal", dmvae_params,
             {"dataset": "LUMA", "seed": seed},
         )
+        if dmvae_state is not None:
+            save_checkpoint(
+                f"checkpoints/dmvae_datasetLUMA_seed{seed}_a1e-05_normal_state",
+                dmvae_state, {"dataset": "LUMA", "seed": seed},
+            )
         print(f"[seed {seed}] DMVAE trained ({time.time() - t0:.1f}s)", flush=True)
 
         zc_tr, zp_tr = embed_dataset_chunked(model, dmvae_params, xs_tr, dmvae_state)
@@ -397,6 +424,12 @@ def main(argv=None):
                 f"checkpoints/{name}_fusion_dsLUMA_seed{seed}", res_m.params,
                 {"model": name, "dataset": "LUMA", "seed": seed},
             )
+            if res_m.model_state is not None:
+                save_checkpoint(
+                    f"checkpoints/{name}_fusion_dsLUMA_seed{seed}_state",
+                    res_m.model_state,
+                    {"model": name, "dataset": "LUMA", "seed": seed},
+                )
             info["path"] = path
             out[name] = info
             print(f"[seed {seed}] {name}: fused_acc={info['fused']['accuracy']:.4f}", flush=True)

@@ -37,8 +37,11 @@ def main(argv=None):
                         help="disentangling backbone: DMVAE (reference "
                              "protocol) or DisentangledSSL (drop-in, "
                              "disentangledssl.py:17-194)")
-    from .common import add_mesh_args, build_runner_mesh
+    from .common import (
+        add_force_vmap_flag, add_mesh_args, build_runner_mesh, guard_vmap_seeds,
+    )
     add_mesh_args(parser)
+    add_force_vmap_flag(parser)
     args = parser.parse_args(argv)
 
     configure()
@@ -101,6 +104,8 @@ def main(argv=None):
     rows = {}
     t_start = time.time()
 
+    # axon-relay safety guard (see runners/common.py:vmap_seeds_unsafe)
+    args.vmap_seeds = guard_vmap_seeds(args, len(seeds))
     if args.vmap_seeds and len(seeds) > 1 and args.backbone == "dmvae":
         from ..core.train import train_many
         from numpy import stack as np_stack
@@ -326,6 +331,10 @@ def main(argv=None):
                 mesh=mesh, tp_hidden_dim=tuple(C("dmvae_fusion.hidden_dim", (128,)))[0],
             )
             log_training_csv(f"dmvae_fusion_seed{seed}_dep{dep}", res_p)
+            save_checkpoint(
+                f"checkpoints/dmvae_fusion_seed{seed}_dep{dep}", res_p.params,
+                {"seed": seed, "dep": dep, "model": "dmvae_cml"},
+            )
             rows[seed][dep]["dmvae_cml"] = evaluate_subjective_model_with_shared(
                 task, res_p.params, probe_val
             )
@@ -354,6 +363,10 @@ def main(argv=None):
                     mesh=mesh, tp_hidden_dim=tuple(C("latefusion.hidden_dim", (128,)))[0],
                 )
                 log_training_csv(f"late_fusion_seed{seed}_dep{dep}_agg{agg}", res_lf)
+                save_checkpoint(
+                    f"checkpoints/late_fusion_seed{seed}_dep{dep}_agg{agg}",
+                    res_lf.params, {"seed": seed, "dep": dep, "model": label},
+                )
                 rows[seed][dep][label] = evaluate_subjective_model(lf, res_lf.params, lf_val)
 
             acc = rows[seed][dep]["dmvae_cml"]["fused"]["accuracy"]

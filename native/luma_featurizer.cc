@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -363,7 +364,10 @@ int featurize_batch(const char* paths, int n_paths, int sample_rate,
     if (featurize_wav_with_tables(ptrs[i], sample_rate, max_length_s, t,
                                   out + (size_t)i * n_mfcc) != 0) {
       ++failures;
-      for (int k = 0; k < n_mfcc; ++k) out[(size_t)i * n_mfcc + k] = 0.0f;
+      // NaN-fill failed rows: an unambiguous per-row failure marker (a
+      // legitimate MFCC-mean row can in principle be all-zero, never NaN)
+      for (int k = 0; k < n_mfcc; ++k)
+        out[(size_t)i * n_mfcc + k] = std::numeric_limits<float>::quiet_NaN();
     }
   }
   return failures;

@@ -199,6 +199,22 @@ def test_luma_ood_arrays(tmp_path):
     xs_te2 = get_luma_arrays(root)[2]
     assert np.allclose(xs_te[0], xs_te2[0])
 
+    # explicit metadata 'ood_classes' manifest that does NOT sort after the
+    # ID names: class_0 is designated OOD -> the split must follow the
+    # list, not alphabetical order (ADVICE r2: real corpora don't promise
+    # the OOD names sort last)
+    import yaml as _yaml
+    from pathlib import Path as _Path
+
+    meta_path = _Path(root) / "metadata.yaml"
+    meta = _yaml.safe_load(meta_path.read_text())
+    meta.update(num_classes=4, num_ood_classes=1, ood_classes=["class_0"])
+    meta_path.write_text(_yaml.safe_dump(meta))
+    xs_ood2, y_ood2, n_id2 = get_luma_ood_arrays(root)
+    assert n_id2 == 4
+    assert len(y_ood2) == 2  # 1 OOD class x 2 test rows
+    assert set(np.unique(y_ood2)) == {4}  # OOD indexed after the 4 ID classes
+
 
 def test_fake_luma_use_2d(tmp_path):
     """data.audio.use_2d: the featurizer emits full (n_mfcc, frames) MFCC

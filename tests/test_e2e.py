@@ -206,3 +206,99 @@ def test_sweep_rows_file_resume(tmp_path, capsys):
     assert df1.shape == df2.shape
     np.testing.assert_allclose(
         df1["fused_accuracy"].to_numpy(), df2["fused_accuracy"].to_numpy())
+
+
+def test_vmap_seeds_axon_guard(monkeypatch, capsys):
+    """The axon-relay safety guard: the known-crash config (tpu backend via
+    the axon relay, f32 precision, >=2 seeds) auto-falls back to sequential
+    with a loud warning; bf16, single-seed, and --force-vmap-seeds pass."""
+    import argparse
+
+    from disentagled_multimodal_fusion_tpu.runners import common
+
+    monkeypatch.setattr(
+        "jax.default_backend", lambda: "tpu", raising=True)
+    from jax._src import xla_bridge as xb
+
+    monkeypatch.setattr(xb, "backends", lambda: {"axon": None, "cpu": None})
+
+    assert common.vmap_seeds_unsafe(5, "float32") is not None
+    assert common.vmap_seeds_unsafe(5, None) is not None
+    assert common.vmap_seeds_unsafe(5, "bfloat16") is None
+    assert common.vmap_seeds_unsafe(1, "float32") is None
+
+    args = argparse.Namespace(vmap_seeds=True, force_vmap_seeds=False)
+    assert common.guard_vmap_seeds(args, 5, "float32") is False
+    assert "falling back to sequential" in capsys.readouterr().out
+    args.force_vmap_seeds = True
+    assert common.guard_vmap_seeds(args, 5, "float32") is True
+    assert "overrides a known-bad config" in capsys.readouterr().out
+
+    # healthy backends are untouched
+    monkeypatch.setattr(xb, "backends", lambda: {"tpu": None, "cpu": None})
+    assert common.vmap_seeds_unsafe(5, "float32") is None
+
+
+def test_evaluate_reload_synthetic(tmp_path):
+    """runners/evaluate round-trips a synthetic-driver checkpoint: the
+    reloaded evaluation reproduces the runner's fused accuracy exactly."""
+    from disentagled_multimodal_fusion_tpu.runners.evaluate import main as eval_main
+    from disentagled_multimodal_fusion_tpu.runners.run_synthetic import main as synth_main
+
+    df = synth_main(["--quick", "--seeds", "0", "--deps", "50"])
+    want = float(df[df["model"] == "dmvae_cml"]["fused_accuracy"].iloc[0])
+    info = eval_main([
+        "--model", "dmvae_cml", "--dataset", "synthetic", "--seed", "0",
+        "--dep", "50", "--quick",
+    ])
+    np.testing.assert_allclose(float(info["fused"]["accuracy"]), want, atol=1e-6)
+    # late-fusion naming scheme reloads too
+    want_lf = float(df[df["model"] == "avg"]["fused_accuracy"].iloc[0])
+    info_lf = eval_main([
+        "--model", "avg_fusion", "--dataset", "synthetic", "--seed", "0",
+        "--dep", "50", "--quick",
+    ])
+    np.testing.assert_allclose(float(info_lf["fused"]["accuracy"]), want_lf, atol=1e-6)
+
+
+def test_evaluate_reload_luma(tmp_path):
+    """runners/evaluate round-trips LUMA checkpoints (probe incl. the
+    frozen-DMVAE re-embed, and LateFusion incl. the BatchNorm-stats
+    sidecar) on the fixture corpus."""
+    from disentagled_multimodal_fusion_tpu.data.luma import make_fake_luma
+    from disentagled_multimodal_fusion_tpu.runners.evaluate import main as eval_main
+    from disentagled_multimodal_fusion_tpu.runners.run_luma import main as luma_main
+
+    root = make_fake_luma(
+        tmp_path / "luma", n_classes=3, train_per_class=4, test_per_class=2)
+    df = luma_main([
+        "--seeds", "0", "--data-path", root,
+        "--dmvae-epochs", "2", "--probe-epochs", "2",
+    ])
+    for model in ("dmvae_cml", "cml_fusion"):
+        want = float(df[df["model"] == model]["fused_accuracy"].iloc[0])
+        info = eval_main([
+            "--model", model, "--dataset", "LUMA", "--seed", "0",
+            "--data-path", root,
+        ])
+        np.testing.assert_allclose(
+            float(info["fused"]["accuracy"]), want, atol=1e-6,
+            err_msg=f"reload mismatch for {model}",
+        )
+
+
+def test_evaluate_reload_noise_condition(tmp_path):
+    """runners/evaluate reloads a Noise-condition .mat checkpoint (the
+    _noise suffix + test-row noise injection replay)."""
+    from disentagled_multimodal_fusion_tpu.runners.evaluate import main as eval_main
+    from disentagled_multimodal_fusion_tpu.runners.run import main as run_main
+
+    df = run_main(["--quick", "--seeds", "0", "--datasets", "CUB",
+                   "--conditions", "Noise"])
+    want = float(df[(df["model"] == "cml_fusion")
+                    & (df["type"] == "Noise")]["fused_accuracy"].iloc[0])
+    info = eval_main([
+        "--model", "cml_fusion", "--dataset", "CUB", "--seed", "0",
+        "--condition", "noise",
+    ])
+    np.testing.assert_allclose(float(info["fused"]["accuracy"]), want, atol=1e-6)

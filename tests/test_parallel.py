@@ -224,6 +224,15 @@ def test_distributed_initialize_single_process_noop():
     assert jax.process_count() == 1
 
 
+def test_distributed_initialize_single_host_marker_noop(monkeypatch):
+    """A single-entry TPU_WORKER_HOSTNAMES (what a one-host runtime like
+    this image's axon relay exports) must NOT trigger pod auto-init."""
+    from disentagled_multimodal_fusion_tpu.parallel.distributed import initialize
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert initialize() is False
+
+
 def test_process_rows_partition():
     """process_rows covers [0, n) exactly once for any process count."""
     from disentagled_multimodal_fusion_tpu.parallel.distributed import process_rows
