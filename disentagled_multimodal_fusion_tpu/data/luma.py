@@ -215,8 +215,20 @@ class LUMADataset:
             try:
                 from transformers import AutoTokenizer
 
+                # cheap egress probe first: offline, a plain from_pretrained
+                # burns minutes in HF retry backoff before failing; with
+                # local_files_only=True it still uses the local HF cache
+                # (same artifacts => same tokens) but fails fast to the
+                # vendored-WordPiece fallback when the cache is cold
+                import socket
+
+                try:
+                    with socket.create_connection(("huggingface.co", 443), timeout=2.0):
+                        online = True
+                except OSError:
+                    online = False
                 self._tokenizer = AutoTokenizer.from_pretrained(
-                    self.text_config["model_name"], local_files_only=False
+                    self.text_config["model_name"], local_files_only=not online
                 )
             except Exception:
                 from .wordpiece import WordPieceTokenizer, find_local_vocab

@@ -39,6 +39,13 @@ def main(argv=None):
                              "from the metadata.yaml 'ood_classes' list "
                              "when present, else the alphabetical TAIL "
                              "beyond num_classes is assumed OOD")
+    parser.add_argument("--use-2d", action="store_true",
+                        help="2D-spectrogram audio path: featurize full "
+                             "(n_mfcc, frames) MFCC maps and run the "
+                             "AudioEncoder conv branch (reference "
+                             "classifiers.py:155-217, latent there — "
+                             "run_luma.py never sets it); equivalent to "
+                             "data.audio.use_2d: true in luma_config.yaml")
     parser.add_argument("--dmvae-epochs", type=int, default=None)
     parser.add_argument("--probe-epochs", type=int, default=None)
     parser.add_argument("--vmap-seeds", action="store_true",
@@ -112,7 +119,7 @@ def main(argv=None):
         "use_mfcc": C("data.audio.use_mfcc", True),
         # reference classifiers.py:149 use_2d — 2D-spectrogram conv branch
         # (latent in the reference: run_luma.py never sets it)
-        "use_2d": C("data.audio.use_2d", False),
+        "use_2d": args.use_2d or C("data.audio.use_2d", False),
     }
     text_cfg = {
         "max_length": C("data.text.max_length", 128),

@@ -387,6 +387,18 @@ def summarize(out):
             summary[k][f"{m}_torch_seed_std"] = float(
                 np.std([r[m] for r in d["torch"]])
             )
+            # paired per-seed deltas (ours - torch on the IDENTICAL split +
+            # frozen embeddings): a finer instrument than mean gaps when a
+            # cell sits above the 1% band — the pairing controls for the
+            # split-to-split difficulty variation that dominates seed std
+            deltas = np.array([r[m] for r in d["ours"]]) - np.array(
+                [r[m] for r in d["torch"]]
+            )
+            summary[k][f"{m}_paired_delta"] = {
+                "mean": float(deltas.mean()),
+                "std": float(deltas.std()),
+                "per_seed": [float(x) for x in deltas],
+            }
     return summary
 
 
