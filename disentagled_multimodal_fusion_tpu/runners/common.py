@@ -110,15 +110,16 @@ def vmap_seeds_unsafe(n_seeds: int, dtype=None):
     reason string when (backend, precision, seed count) is in the blast
     radius, None otherwise.
 
-    Round-2 reproducer (RESULTS.md / ROADMAP item 0): compiling a >=5-seed
-    vmapped PROBE program under the parity-first f32 matmul-precision
-    default deterministically kills the relay worker ("TPU worker process
-    crashed or restarted"); the compile never finishes, so the persistent
-    compilation cache cannot help. Single-seed programs, the vmapped DMVAE
-    program, bf16 vmapped programs, and CPU virtual meshes all compile the
-    same code fine — the failure is specific to the relay, not to the
-    program, so the product guard (runners auto-fall back to the
-    sequential path with a loud warning; override with
+    Round-2 reproducer (RESULTS.md / ROADMAP item 0), re-confirmed round 3
+    (2026-08-17, /tmp/vmap_repro.log): `run.py --vmap-seeds
+    --force-vmap-seeds --datasets HandWritten --conditions Normal` — the
+    5-seed vmapped DMVAE and the dmvae_dis probe complete, then the
+    dmvae_cml (AdamW+cosine shared+private) vmapped program kills the
+    relay worker ("TPU worker process crashed or restarted"). Single-seed
+    programs, bf16 vmapped programs, and CPU virtual meshes all compile
+    and run the same code fine — the failure is specific to the relay,
+    not to the program, so the product guard (runners auto-fall back to
+    the sequential path with a loud warning; override with
     --force-vmap-seeds) is scoped to exactly this backend.
     """
     if dtype not in (None, "float32"):
