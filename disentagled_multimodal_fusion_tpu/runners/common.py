@@ -121,6 +121,13 @@ def vmap_seeds_unsafe(n_seeds: int, dtype=None):
     not to the program, so the product guard (runners auto-fall back to
     the sequential path with a loud warning; override with
     --force-vmap-seeds) is scoped to exactly this backend.
+
+    Isolation (round 3, /tmp/cml_only.log): the 5-seed vmapped dmvae_cml
+    program run ALONE in a fresh process — random embeddings, nothing
+    else compiled first — still kills the relay. The crash is
+    program-specific, not cumulative, so segmenting the sweep into
+    smaller compile units cannot route around it; auto-fallback (or the
+    bf16 vmapped path) is the only safe product behavior here.
     """
     if dtype not in (None, "float32"):
         return None  # bf16 vmapped programs compile fine on the relay
