@@ -20,7 +20,7 @@ Optimizer settings mirror the reference exactly:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import partial, wraps
 from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -60,6 +60,36 @@ class EvidentialTask(NamedTuple):
     optimizer: OptimizerConfig
     has_shared: bool        # True if evidences[:, 0] is the shared view
     model_state: Any = None
+
+
+_MISS = object()
+
+
+def _memoized(fn):
+    """Value-keyed memo for the closure templates below.
+
+    flax Modules hash/compare STRUCTURALLY, so two sweep cells that build
+    the same task config get the IDENTICAL loss/val/evidences closure
+    objects back — which is what lets core.train's program cache (keyed on
+    function identity) reuse one traced+lowered jit program across all
+    seeds/conditions of a sweep instead of re-tracing every cell (~half the
+    measured per-cell overhead). Unhashable args (e.g. ad-hoc encoder
+    lists) skip the cache and behave exactly as before.
+    """
+    cache = {}
+
+    @wraps(fn)
+    def wrapper(*args):
+        try:
+            hit = cache.get(args, _MISS)
+        except TypeError:
+            return fn(*args)
+        if hit is _MISS:
+            hit = cache[args] = fn(*args)
+        return hit
+
+    wrapper.cache = cache
+    return wrapper
 
 
 def _norm_dtype(dtype):
@@ -136,28 +166,32 @@ def build_dmvae_task(
     )
     params = variables["params"]
     bstats = variables.get("batch_stats")
-
-    if bstats is None:
-
-        def loss_fn(params, batch, mask, t, key):
-            loss_logs, _ = _apply_stateful(
-                model, params, None, (batch["xs"],), {"mask": mask}, True,
-                {"noise": key, "dropout": jax.random.fold_in(key, 1)},
-            )
-            return loss_logs[0], loss_logs[1]
-    else:
-
-        def loss_fn(params, batch, mask, t, key, state):
-            (loss, _logs), new_state = _apply_stateful(
-                model, params, state, (batch["xs"],), {"mask": mask}, True,
-                {"noise": key, "dropout": jax.random.fold_in(key, 1)},
-            )
-            return loss, new_state
+    loss_stateless, loss_stateful = _dmvae_closures(model)
+    loss_fn = loss_stateless if bstats is None else loss_stateful
 
     opt = OptimizerConfig(
         name="adam", lr=lr, schedule="cosine", cosine_t_max=num_epochs, eta_min=0.0
     )
     return model, params, loss_fn, opt, bstats
+
+
+@_memoized
+def _dmvae_closures(model):
+    def loss_fn(params, batch, mask, t, key):
+        loss_logs, _ = _apply_stateful(
+            model, params, None, (batch["xs"],), {"mask": mask}, True,
+            {"noise": key, "dropout": jax.random.fold_in(key, 1)},
+        )
+        return loss_logs[0], loss_logs[1]
+
+    def loss_fn_state(params, batch, mask, t, key, state):
+        (loss, _logs), new_state = _apply_stateful(
+            model, params, state, (batch["xs"],), {"mask": mask}, True,
+            {"noise": key, "dropout": jax.random.fold_in(key, 1)},
+        )
+        return loss, new_state
+
+    return loss_fn, loss_fn_state
 
 
 @partial(jax.jit, static_argnames=("backbone_model",))
@@ -230,6 +264,22 @@ def build_probe_task(
     zc0 = jnp.zeros((2, shared_input_dim or input_dim))
     zp0 = [jnp.zeros((2, input_dim))] * num_modalities
     params = model.init({"params": rng, "dropout": rng}, zc0, zp0, train=True)["params"]
+    loss_fn, val_fn, ev_fn = _probe_closures(model, aggregation, annealing_start, fused)
+
+    opt = OptimizerConfig(
+        name="adamw", lr=lr, weight_decay=1e-4,
+        schedule="cosine", cosine_t_max=num_epochs, eta_min=1e-6,
+    )
+    return EvidentialTask(
+        model, params, loss_fn, val_fn, ev_fn, agg,
+        num_classes, opt, has_shared=True,
+    )
+
+
+@_memoized
+def _probe_closures(model, aggregation, annealing_start, fused):
+    agg = AGGREGATIONS[aggregation]
+    num_modalities = model.num_modalities
     num_views = 1 + num_modalities
 
     def evidences(params, data, train=False, key=None):
@@ -259,15 +309,7 @@ def build_probe_task(
         )
         return loss, _acc(ev_a, data["y"])
 
-    opt = OptimizerConfig(
-        name="adamw", lr=lr, weight_decay=1e-4,
-        schedule="cosine", cosine_t_max=num_epochs, eta_min=1e-6,
-    )
-    return EvidentialTask(
-        model, params, loss_fn, val_fn,
-        jax.jit(lambda p, d: evidences(p, d, train=False)), agg,
-        num_classes, opt, has_shared=True,
-    )
+    return loss_fn, val_fn, jax.jit(lambda p, d: evidences(p, d, train=False))
 
 
 def build_disentangled_probe_task(
@@ -300,6 +342,22 @@ def build_disentangled_probe_task(
     agg = AGGREGATIONS[aggregation]
     zp0 = [jnp.zeros((2, input_dim))] * num_modalities
     params = model.init({"params": rng, "dropout": rng}, zp0, train=True)["params"]
+    loss_fn, val_fn, ev_fn = _dis_probe_closures(model, aggregation, annealing_start)
+
+    opt = OptimizerConfig(
+        name="adamw", lr=lr, weight_decay=0.01,
+        schedule="plateau", plateau_factor=0.1, plateau_patience=5,
+    )
+    return EvidentialTask(
+        model, params, loss_fn, val_fn, ev_fn, agg,
+        num_classes, opt, has_shared=False,
+    )
+
+
+@_memoized
+def _dis_probe_closures(model, aggregation, annealing_start):
+    agg = AGGREGATIONS[aggregation]
+    num_modalities = model.num_modalities
 
     def evidences(params, data, train=False, key=None):
         zp_list = [data["zp"][:, i] for i in range(num_modalities)]
@@ -326,15 +384,7 @@ def build_disentangled_probe_task(
         )
         return loss, _acc(ev_a, data["y"])
 
-    opt = OptimizerConfig(
-        name="adamw", lr=lr, weight_decay=0.01,
-        schedule="plateau", plateau_factor=0.1, plateau_patience=5,
-    )
-    return EvidentialTask(
-        model, params, loss_fn, val_fn,
-        jax.jit(lambda p, d: evidences(p, d, train=False)), agg,
-        num_classes, opt, has_shared=False,
-    )
+    return loss_fn, val_fn, jax.jit(lambda p, d: evidences(p, d, train=False))
 
 
 # ------------------------------------------------------------------ baselines
@@ -382,7 +432,22 @@ def build_late_fusion_task(
     variables = model.init({"params": rng, "dropout": rng}, xs0, train=True)
     params = variables["params"]
     bstats = variables.get("batch_stats")
-    num_views = len(output_dims)
+    stateless, stateful = _late_fusion_closures(model, aggregation, annealing_start, fused)
+    loss_fn, val_fn, ev_fn = stateless if bstats is None else stateful
+
+    opt = OptimizerConfig(
+        name="adam", lr=lr, schedule="plateau", plateau_factor=0.1, plateau_patience=10
+    )
+    return EvidentialTask(
+        model, params, loss_fn, val_fn, ev_fn, agg,
+        num_classes, opt, has_shared=False, model_state=bstats,
+    )
+
+
+@_memoized
+def _late_fusion_closures(model, aggregation, annealing_start, fused):
+    agg = AGGREGATIONS[aggregation]
+    num_views = len(model.output_dims)
 
     def evidences(params, data, state=None, train=False, key=None):
         rngs = {"dropout": key} if train else None
@@ -398,36 +463,26 @@ def build_late_fusion_task(
             annealing_start=annealing_start, fused=fused, mask=mask,
         )
 
-    if bstats is None:
+    def loss_fn(params, batch, mask, t, key):
+        ev, _ = evidences(params, batch, train=True, key=key)
+        return _loss(ev, batch["y"], t, mask), {}
 
-        def loss_fn(params, batch, mask, t, key):
-            ev, _ = evidences(params, batch, train=True, key=key)
-            return _loss(ev, batch["y"], t, mask), {}
+    def val_fn(params, data, t):
+        ev, _ = evidences(params, data, train=False)
+        return _loss(ev, data["y"], t, None), _acc(agg(ev), data["y"])
 
-        def val_fn(params, data, t):
-            ev, _ = evidences(params, data, train=False)
-            return _loss(ev, data["y"], t, None), _acc(agg(ev), data["y"])
+    def loss_fn_s(params, batch, mask, t, key, state):
+        ev, new_state = evidences(params, batch, state=state, train=True, key=key)
+        return _loss(ev, batch["y"], t, mask), new_state
 
-        ev_fn = jax.jit(lambda p, d: evidences(p, d, train=False)[0])
-    else:
+    def val_fn_s(params, state, data, t):
+        ev, _ = evidences(params, data, state=state, train=False)
+        return _loss(ev, data["y"], t, None), _acc(agg(ev), data["y"])
 
-        def loss_fn(params, batch, mask, t, key, state):
-            ev, new_state = evidences(params, batch, state=state, train=True, key=key)
-            return _loss(ev, batch["y"], t, mask), new_state
-
-        def val_fn(params, state, data, t):
-            ev, _ = evidences(params, data, state=state, train=False)
-            return _loss(ev, data["y"], t, None), _acc(agg(ev), data["y"])
-
-        ev_fn = jax.jit(lambda p, d, s: evidences(p, d, state=s, train=False)[0])
-
-    opt = OptimizerConfig(
-        name="adam", lr=lr, schedule="plateau", plateau_factor=0.1, plateau_patience=10
-    )
-    return EvidentialTask(
-        model, params, loss_fn, val_fn, ev_fn, agg,
-        num_classes, opt, has_shared=False, model_state=bstats,
-    )
+    stateless = (loss_fn, val_fn, jax.jit(lambda p, d: evidences(p, d, train=False)[0]))
+    stateful = (loss_fn_s, val_fn_s,
+                jax.jit(lambda p, d, s: evidences(p, d, state=s, train=False)[0]))
+    return stateless, stateful
 
 
 def build_intermediate_fusion_task(
@@ -460,7 +515,19 @@ def build_intermediate_fusion_task(
             "driver exercises this combination)."
         )
     params = variables["params"]
+    loss_fn, val_fn, ev_fn, agg = _intermediate_closures(model, annealing_start)
 
+    opt = OptimizerConfig(
+        name="adam", lr=lr, schedule="plateau", plateau_factor=0.1, plateau_patience=5
+    )
+    return EvidentialTask(
+        model, params, loss_fn, val_fn, ev_fn, agg,
+        num_classes, opt, has_shared=False,
+    )
+
+
+@_memoized
+def _intermediate_closures(model, annealing_start):
     def evidence(params, data, train=False, key=None):
         rngs = {"dropout": key} if train else None
         return model.apply({"params": params}, data["xs"], train=train, rngs=rngs)
@@ -480,15 +547,8 @@ def build_intermediate_fusion_task(
         )
         return loss, _acc(ev, data["y"])
 
-    opt = OptimizerConfig(
-        name="adam", lr=lr, schedule="plateau", plateau_factor=0.1, plateau_patience=5
-    )
-    return EvidentialTask(
-        model, params, loss_fn, val_fn,
-        jax.jit(lambda p, d: evidence(p, d, train=False)[:, None, :]),  # (B, 1, C)
-        lambda ev: ev[:, 0, :],
-        num_classes, opt, has_shared=False,
-    )
+    ev_fn = jax.jit(lambda p, d: evidence(p, d, train=False)[:, None, :])  # (B, 1, C)
+    return loss_fn, val_fn, ev_fn, lambda ev: ev[:, 0, :]
 
 
 # ------------------------------------------------------------------ SSL
@@ -532,7 +592,16 @@ def build_disentangledssl_task(
         {"params": rng, "noise": rng, "dropout": rng},
         x0[0], x0[1], x0[0], x0[1], 0, train=True,
     )["params"]
+    loss_fn = _ssl_closures(model)
 
+    opt = OptimizerConfig(
+        name="adam", lr=lr, schedule="cosine", cosine_t_max=epochs, eta_min=0.0
+    )
+    return model, params, loss_fn, opt
+
+
+@_memoized
+def _ssl_closures(model):
     def loss_fn(params, batch, mask, t, key):
         # SupCon couples all rows of the batch; padded tail rows would change
         # the loss, so SSL training uses drop_last=True (reference uses
@@ -541,10 +610,7 @@ def build_disentangledssl_task(
         loss, logs = disentangledssl_loss(model, params, batch["xs"], t.step, key)
         return loss, logs
 
-    opt = OptimizerConfig(
-        name="adam", lr=lr, schedule="cosine", cosine_t_max=epochs, eta_min=0.0
-    )
-    return model, params, loss_fn, opt
+    return loss_fn
 
 
 def embed_dataset_ssl(model: DisentangledSSL, params, xs):

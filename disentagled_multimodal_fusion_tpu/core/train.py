@@ -32,7 +32,7 @@ Functional equivalents of the reference's stateful pieces:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from collections import OrderedDict
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -115,6 +115,38 @@ def _plateau_update(cfg: OptimizerConfig, state, metric):
     return lr, best, bad
 
 
+_PROGRAM_CACHE: OrderedDict = OrderedDict()
+_PROGRAM_CACHE_MAX = 256
+
+
+def _cached_program(key, build):
+    """LRU cache of jitted train programs.
+
+    Keyed on the loss/val FUNCTION IDENTITIES plus every static argument
+    that shapes the traced program (OptimizerConfig hashes by value). The
+    task builders return value-memoized closures (core.tasks._memoized),
+    so all seeds/conditions of a sweep cell config hit the same entry and
+    the per-fit re-trace + re-lower cost (~half the measured per-cell
+    overhead on the UQ sweep) is paid once per process. One-off closures
+    (un-memoized user code) just occupy an LRU slot each — same behavior
+    as the previous jit-per-call, since jax caches compiled executables
+    per wrapper.
+    """
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = _PROGRAM_CACHE[key] = build()
+        if len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.popitem(last=False)
+    else:
+        _PROGRAM_CACHE.move_to_end(key)
+    return fn
+
+
+def program_cache_info():
+    """(size, max) of the jitted-program cache — exposed for tests."""
+    return len(_PROGRAM_CACHE), _PROGRAM_CACHE_MAX
+
+
 def _epoch_batches(key, n: int, batch_size: int, drop_last: bool, shuffle: bool):
     """Static-shape batch plan: full batches + an EXACT-size ragged tail.
 
@@ -187,22 +219,31 @@ def train(
     Otherwise val_fn is (params, val_data, t) -> (val_loss, val_acc).
     """
     has_state = model_state is not None
-    program = make_train_program(
-        loss_fn=loss_fn,
-        n_train=n_train,
-        optimizer=optimizer,
-        epochs=epochs,
-        batch_size=batch_size,
-        drop_last=drop_last,
-        shuffle=shuffle,
-        val_fn=val_fn,
-        has_state=has_state,
-        start_epoch=start_epoch,
-    )
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def run(params, rng, data, val_data, model_state, resume):
-        return program(params, rng, data, val_data, model_state, resume)
+    def build():
+        program = make_train_program(
+            loss_fn=loss_fn,
+            n_train=n_train,
+            optimizer=optimizer,
+            epochs=epochs,
+            batch_size=batch_size,
+            drop_last=drop_last,
+            shuffle=shuffle,
+            val_fn=val_fn,
+            has_state=has_state,
+            start_epoch=start_epoch,
+        )
+
+        def run(params, rng, data, val_data, model_state, resume):
+            return program(params, rng, data, val_data, model_state, resume)
+
+        return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+    run = _cached_program(
+        ("single", loss_fn, val_fn, has_state, n_train, optimizer, epochs,
+         batch_size, drop_last, shuffle, start_epoch, donate),
+        build,
+    )
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -320,22 +361,30 @@ def train_many(
             data_stack = shard_instances(data_stack, mesh)
             if val_data_stack is not None:
                 val_data_stack = shard_instances(val_data_stack, mesh)
-    program = make_train_program(
-        loss_fn=loss_fn,
-        n_train=n_train,
-        optimizer=optimizer,
-        epochs=epochs,
-        batch_size=batch_size,
-        drop_last=drop_last,
-        shuffle=shuffle,
-        val_fn=val_fn,
-        has_state=model_state_stack is not None,
-    )
+    has_state = model_state_stack is not None
     data_ax = None if data_broadcast else 0
     rngs = jax.vmap(lambda k: jax.random.fold_in(k, 0x5CA1AB1E))(rngs)
 
+    def vmapped_run(seg_epochs, seg_start, with_resume):
+        def build():
+            program = make_train_program(
+                loss_fn=loss_fn, n_train=n_train, optimizer=optimizer,
+                epochs=seg_epochs, batch_size=batch_size, drop_last=drop_last,
+                shuffle=shuffle, val_fn=val_fn, has_state=has_state,
+                start_epoch=seg_start,
+            )
+            axes = (0, 0, data_ax, data_ax, 0) + ((0,) if with_resume else ())
+            return jax.jit(jax.vmap(program, in_axes=axes))
+
+        return _cached_program(
+            ("vmapped", loss_fn, val_fn, has_state, n_train, optimizer,
+             seg_epochs, batch_size, drop_last, shuffle, seg_start, data_ax,
+             with_resume),
+            build,
+        )
+
     if not segment_epochs or segment_epochs >= epochs:
-        run = jax.jit(jax.vmap(program, in_axes=(0, 0, data_ax, data_ax, 0)))
+        run = vmapped_run(epochs, 0, False)
         return run(params_stack, rngs, data_stack, val_data_stack, model_state_stack)
 
     # exact-resume segmented execution
@@ -343,13 +392,7 @@ def train_many(
     params, mstate = params_stack, model_state_stack
     while start < epochs:
         seg = min(segment_epochs, epochs - start)
-        prog = make_train_program(
-            loss_fn=loss_fn, n_train=n_train, optimizer=optimizer,
-            epochs=seg, batch_size=batch_size, drop_last=drop_last,
-            shuffle=shuffle, val_fn=val_fn,
-            has_state=model_state_stack is not None, start_epoch=start,
-        )
-        run = jax.jit(jax.vmap(prog, in_axes=(0, 0, data_ax, data_ax, 0, 0)))
+        run = vmapped_run(seg, start, True)
         r = run(params, rngs, data_stack, val_data_stack, mstate, resume)
         jax.block_until_ready(r.train_loss)
         results.append(r)

@@ -163,10 +163,27 @@ def CUB() -> MultiViewDataset:
     return MultiViewDataset("CUB", data["X"][0], data["gt"] - 1)
 
 
+_BASE_CACHE: dict = {}
+
+
+def _fresh(name: str, factory):
+    """Load + scale each .mat once per process; hand out deep copies.
+
+    postprocessing() mutates X in place, so every registry call must return
+    an isolated object — but re-reading and re-scaling the .mat per sweep
+    cell (40x per UQ sweep) is pure waste. The copy is a few MB."""
+    import copy
+
+    base = _BASE_CACHE.get(name)
+    if base is None:
+        base = _BASE_CACHE[name] = factory()
+    return copy.deepcopy(base)
+
+
 DATASET_REGISTRY = {
-    "HandWritten": HandWritten,
-    "Scene": Scene,
-    "PIE": PIE,
-    "CalTech": Caltech,
-    "CUB": CUB,
+    "HandWritten": lambda: _fresh("HandWritten", HandWritten),
+    "Scene": lambda: _fresh("Scene", Scene),
+    "PIE": lambda: _fresh("PIE", PIE),
+    "CalTech": lambda: _fresh("CalTech", Caltech),
+    "CUB": lambda: _fresh("CUB", CUB),
 }

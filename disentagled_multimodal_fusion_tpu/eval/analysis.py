@@ -89,6 +89,26 @@ def _to_py(tree):
     return jax.tree.map(lambda a: float(a) if np.ndim(a) == 0 else np.asarray(a).tolist(), tree)
 
 
+@partial(jax.jit, static_argnames=("num_classes",))
+def _eval_all(evidences: jax.Array, fused: jax.Array, target: jax.Array,
+              num_classes: int):
+    """Every evaluation metric as ONE program: the fused block, all V view
+    blocks (vmapped), and the per-class evidence tables. One dispatch + one
+    host transfer per model eval, vs ~2V jit calls and ~10V per-scalar
+    device syncs — on the relay-attached bench TPU each sync is a ~30 ms
+    round-trip, which made scalar fetching the dominant eval cost."""
+    return {
+        "fused_block": _block_metrics(fused, target, num_classes),
+        "blocks": jax.vmap(
+            lambda ev: _block_metrics(ev, target, num_classes), in_axes=1
+        )(evidences),
+        "pc": jax.vmap(
+            lambda ev: _per_class_evidence(ev, target, num_classes), in_axes=1
+        )(evidences),
+        "f_pc": _per_class_evidence(fused, target, num_classes),
+    }
+
+
 def evaluate_evidences(
     evidences: jax.Array,
     fused: jax.Array,
@@ -98,11 +118,11 @@ def evaluate_evidences(
 ) -> Dict[str, Any]:
     """Full evaluation given stacked evidences (N, V, C) and fused (N, C)."""
     v = evidences.shape[1]
-    fused_block = _to_py(_block_metrics(fused, target, num_classes))
-    f_unc, f_tc = _per_class_evidence(fused, target, num_classes)
-
-    blocks = [_to_py(_block_metrics(evidences[:, i], target, num_classes)) for i in range(v)]
-    pcs = [_per_class_evidence(evidences[:, i], target, num_classes) for i in range(v)]
+    dev = jax.device_get(_eval_all(evidences, fused, target, num_classes))
+    fused_block = _to_py(dev["fused_block"])
+    blocks = [jax.tree.map(lambda a: float(a[i]), dev["blocks"]) for i in range(v)]
+    uncond, truecls = dev["pc"]
+    f_unc, f_tc = dev["f_pc"]
 
     if has_shared:
         # evidences[:, 0] is the shared head (analysis.py:194-399).
@@ -112,14 +132,14 @@ def evaluate_evidences(
             "fused": fused_block,
             "per_class_evidence": {
                 "unconditional": {
-                    "shared": np.asarray(pcs[0][0]).tolist(),
-                    "per_view": [np.asarray(p[0]).tolist() for p in pcs[1:]],
-                    "fused": np.asarray(f_unc).tolist(),
+                    "shared": uncond[0].tolist(),
+                    "per_view": [u.tolist() for u in uncond[1:]],
+                    "fused": f_unc.tolist(),
                 },
                 "true_class": {
-                    "shared": np.asarray(pcs[0][1]).tolist(),
-                    "per_view": [np.asarray(p[1]).tolist() for p in pcs[1:]],
-                    "fused": np.asarray(f_tc).tolist(),
+                    "shared": truecls[0].tolist(),
+                    "per_view": [t.tolist() for t in truecls[1:]],
+                    "fused": f_tc.tolist(),
                 },
             },
         }
@@ -129,12 +149,12 @@ def evaluate_evidences(
         "fused": fused_block,
         "per_class_evidence": {
             "unconditional": {
-                "per_view": [np.asarray(p[0]).tolist() for p in pcs],
-                "fused": np.asarray(f_unc).tolist(),
+                "per_view": [u.tolist() for u in uncond],
+                "fused": f_unc.tolist(),
             },
             "true_class": {
-                "per_view": [np.asarray(p[1]).tolist() for p in pcs],
-                "fused": np.asarray(f_tc).tolist(),
+                "per_view": [t.tolist() for t in truecls],
+                "fused": f_tc.tolist(),
             },
         },
     }

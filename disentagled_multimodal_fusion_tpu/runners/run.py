@@ -633,6 +633,9 @@ def main(argv=None):
         },
         C("logging.datasets_excel_path", "logs/dataset_analysis.xlsx"),
     )
+    from ..core.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # async saves must be durable before we declare done
     print(f"sweep done in {time.time() - t_start:.1f}s")
     return df
 

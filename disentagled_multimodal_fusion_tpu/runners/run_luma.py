@@ -475,6 +475,9 @@ def main(argv=None):
             print(f"OOD {name}: " + " ".join(f"{k}={v:.3f}" for k, v in s.items()),
                   flush=True)
         print("OOD AUROC written to logs/luma_ood.json", flush=True)
+    from ..core.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # async saves must be durable before we declare done
     print(f"LUMA protocol done in {time.time() - t_start:.1f}s")
     return df
 
