@@ -9,7 +9,6 @@ any device topology.
 
 from __future__ import annotations
 
-import atexit
 import json
 from pathlib import Path
 from typing import Any, Optional
@@ -28,29 +27,38 @@ def _checkpointer():
         import orbax.checkpoint as ocp
 
         _CKPTR = ocp.StandardCheckpointer()
-        atexit.register(wait_for_checkpoints)
     return _CKPTR
 
 
 def wait_for_checkpoints() -> None:
-    """Block until every pending async save has committed. Called
-    automatically at interpreter exit and before any restore; sweep
-    drivers call it before declaring the run complete."""
+    """Block until every pending async save has committed.
+
+    Must be called from NORMAL program flow, not atexit: CPython runs
+    ``threading._register_atexit`` hooks (which mark every
+    ThreadPoolExecutor as shut down) BEFORE atexit callbacks, so Orbax's
+    async commit machinery raises "cannot schedule new futures after
+    interpreter shutdown" if first awaited that late — measured here, not
+    theorised. restore_checkpoint() and every sweep driver call this at
+    their read/completion points.
+    """
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
 
 
 def save_checkpoint(
-    path: str, params: Any, hparams: Optional[dict] = None, wait: bool = False
+    path: str, params: Any, hparams: Optional[dict] = None, wait: bool = True
 ) -> str:
     """Save a pytree of params (+ JSON hparams) under ``path`` (a directory).
 
-    The save is ASYNC: params are snapshotted to host memory synchronously
-    (so callers may freely mutate/donate device buffers afterwards) and the
-    file write overlaps the next cell's compute — on the bench host each
-    committed save costs ~1.5 s of wall-clock, which at the UQ sweep's 7
-    saves/cell was a quarter of the per-cell overhead. ``wait=True``
-    restores the old fully-synchronous contract.
+    ``wait=False`` makes the save ASYNC: params are snapshotted to host
+    memory synchronously (so callers may freely mutate/donate device
+    buffers afterwards) and the file write overlaps subsequent compute —
+    on the bench host each committed save costs ~1.5 s of wall-clock,
+    which at the UQ sweep's 7 saves/cell was a quarter of the per-cell
+    overhead. Async callers MUST reach a wait_for_checkpoints() (the sweep
+    drivers do, at their rows-checkpoint and completion points) before the
+    process exits, or in-flight saves are lost — there is deliberately no
+    atexit net (see wait_for_checkpoints).
     """
     p = Path(path).resolve()
     p.parent.mkdir(parents=True, exist_ok=True)

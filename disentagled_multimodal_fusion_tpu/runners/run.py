@@ -116,8 +116,7 @@ def run_condition(
     cond = "conflict" if conflict else ("noise" if noise else "normal")
     save_checkpoint(
         f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
-        dmvae_params, {"dataset": dataset_name, "seed": seed, "cond": cond},
-    )
+        dmvae_params, {"dataset": dataset_name, "seed": seed, "cond": cond}, wait=False,)
 
     zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr)
     zc_te, zp_te = embed_dataset(model, dmvae_params, xs_te)
@@ -197,8 +196,7 @@ def run_condition(
         log_training_csv(model_name, res_m)
         path = save_checkpoint(
             f"checkpoints/{model_name}",
-            res_m.params, {"model": name, "dataset": dataset_name, "seed": seed},
-        )
+            res_m.params, {"model": name, "dataset": dataset_name, "seed": seed}, wait=False,)
         info["path"] = path
         rows_out[name] = info
         print(
@@ -313,8 +311,7 @@ def run_condition_vmapped(
         save_checkpoint(
             f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
             jax.tree.map(lambda a: a[i], dmvae_params),
-            {"dataset": dataset_name, "seed": seed, "cond": cond},
-        )
+            {"dataset": dataset_name, "seed": seed, "cond": cond}, wait=False,)
     print(f"  [{dataset_name}/{cond}] DMVAE x{s_count} seeds trained "
           f"({time.time() - t0:.1f}s)", flush=True)
 
@@ -403,8 +400,7 @@ def run_condition_vmapped(
                 final_lr=res_m.final_lr[s]))
             info["path"] = save_checkpoint(
                 f"checkpoints/{model_name}", params_s,
-                {"model": name, "dataset": dataset_name, "seed": seed},
-            )
+                {"model": name, "dataset": dataset_name, "seed": seed}, wait=False,)
             rows_by_seed[seed][name] = info
         accs = [rows_by_seed[s][name]["fused"]["accuracy"] for s in seeds]
         print(f"  [{dataset_name}/{cond}] {name} x{s_count}: fused_acc "
@@ -545,6 +541,11 @@ def main(argv=None):
     def _save_rows():
         if not args.rows_file:
             return
+        # a cell marked complete must have durable checkpoints (its rows
+        # carry the checkpoint paths) — flush pending async saves first
+        from ..core.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
         tmp = Path(args.rows_file).with_suffix(".tmp")
         tmp.write_text(json.dumps(rows))
         tmp.replace(args.rows_file)

@@ -219,16 +219,14 @@ def main(argv=None):
             ckpt = f"checkpoints/dmvae_datasetLUMA_seed{s}_a1e-05_normal"
             save_checkpoint(
                 ckpt,
-                jax.tree.map(lambda a: a[i], dmvae_params), {"dataset": "LUMA", "seed": s},
-            )
+                jax.tree.map(lambda a: a[i], dmvae_params), {"dataset": "LUMA", "seed": s}, wait=False,)
             if dmvae_state is not None:
                 # feature-encoder BatchNorm stats: without them a reload
                 # (runners/evaluate.py) can't reproduce the evaluation
                 save_checkpoint(
                     ckpt + "_state",
                     jax.tree.map(lambda a: a[i], dmvae_state),
-                    {"dataset": "LUMA", "seed": s},
-                )
+                    {"dataset": "LUMA", "seed": s}, wait=False,)
         print(f"DMVAE x{len(seeds)} seeds trained ({time.time() - t0:.1f}s)", flush=True)
 
         # per-seed, row-chunked embedding: the image CNN's activations for
@@ -316,13 +314,11 @@ def main(argv=None):
                     ood_rows.setdefault(name, []).append(info["ood"])
                 info["path"] = save_checkpoint(
                     f"checkpoints/{name}_fusion_dsLUMA_seed{s}", p_i,
-                    {"model": name, "dataset": "LUMA", "seed": s},
-                )
+                    {"model": name, "dataset": "LUMA", "seed": s}, wait=False,)
                 if ms_i is not None:
                     save_checkpoint(
                         f"checkpoints/{name}_fusion_dsLUMA_seed{s}_state", ms_i,
-                        {"model": name, "dataset": "LUMA", "seed": s},
-                    )
+                        {"model": name, "dataset": "LUMA", "seed": s}, wait=False,)
                 rows[s]["Normal"]["LUMA"][name] = info
             accs = [rows[s]["Normal"]["LUMA"][name]["fused"]["accuracy"] for s in seeds]
             import numpy as _np
@@ -358,13 +354,11 @@ def main(argv=None):
         dmvae_state = res.model_state
         save_checkpoint(
             f"checkpoints/dmvae_datasetLUMA_seed{seed}_a1e-05_normal", dmvae_params,
-            {"dataset": "LUMA", "seed": seed},
-        )
+            {"dataset": "LUMA", "seed": seed}, wait=False,)
         if dmvae_state is not None:
             save_checkpoint(
                 f"checkpoints/dmvae_datasetLUMA_seed{seed}_a1e-05_normal_state",
-                dmvae_state, {"dataset": "LUMA", "seed": seed},
-            )
+                dmvae_state, {"dataset": "LUMA", "seed": seed}, wait=False,)
         print(f"[seed {seed}] DMVAE trained ({time.time() - t0:.1f}s)", flush=True)
 
         zc_tr, zp_tr = embed_dataset_chunked(model, dmvae_params, xs_tr, dmvae_state)
@@ -429,14 +423,12 @@ def main(argv=None):
             log_training_csv(f"{name}_fusion_dsLUMA_seed{seed}", res_m)
             path = save_checkpoint(
                 f"checkpoints/{name}_fusion_dsLUMA_seed{seed}", res_m.params,
-                {"model": name, "dataset": "LUMA", "seed": seed},
-            )
+                {"model": name, "dataset": "LUMA", "seed": seed}, wait=False,)
             if res_m.model_state is not None:
                 save_checkpoint(
                     f"checkpoints/{name}_fusion_dsLUMA_seed{seed}_state",
                     res_m.model_state,
-                    {"model": name, "dataset": "LUMA", "seed": seed},
-                )
+                    {"model": name, "dataset": "LUMA", "seed": seed}, wait=False,)
             info["path"] = path
             out[name] = info
             print(f"[seed {seed}] {name}: fused_acc={info['fused']['accuracy']:.4f}", flush=True)

@@ -162,8 +162,7 @@ def main(argv=None):
                 save_checkpoint(
                     f"checkpoints/dmvae_seed{s}_dep{dep}",
                     jax.tree.map(lambda a: a[i], res.params),
-                    {"seed": s, "dep": dep, "model": "dmvae"},
-                )
+                    {"seed": s, "dep": dep, "model": "dmvae"}, wait=False,)
             embed_v = jax.jit(jax.vmap(lambda p, xs: embed_dataset(model, p, xs)))
             zc_tr, zp_tr = embed_v(res.params, xs_tr)
             zc_va, zp_va = embed_v(res.params, xs_va)
@@ -227,8 +226,7 @@ def main(argv=None):
                         final_lr=res_m.final_lr[i]))
                     save_checkpoint(
                         f"checkpoints/{csv_name}", p_i,
-                        {"seed": s, "dep": dep, "model": label},
-                    )
+                        {"seed": s, "dep": dep, "model": label}, wait=False,)
             accs = [rows[s][dep]["dmvae_cml"]["fused"]["accuracy"] for s in seeds]
             print(f"[dep {dep}] x{len(seeds)} seeds: dmvae_cml fused acc "
                   f"{np.mean(accs):.3f} +/- {np.std(accs):.3f} "
@@ -295,8 +293,7 @@ def main(argv=None):
             dmvae_params = res.params
             save_checkpoint(
                 f"checkpoints/{args.backbone}_seed{seed}_dep{dep}", dmvae_params,
-                {"seed": seed, "dep": dep, "model": args.backbone},
-            )
+                {"seed": seed, "dep": dep, "model": args.backbone}, wait=False,)
 
             if args.backbone == "dmvae":
                 zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr)
@@ -333,8 +330,7 @@ def main(argv=None):
             log_training_csv(f"dmvae_fusion_seed{seed}_dep{dep}", res_p)
             save_checkpoint(
                 f"checkpoints/dmvae_fusion_seed{seed}_dep{dep}", res_p.params,
-                {"seed": seed, "dep": dep, "model": "dmvae_cml"},
-            )
+                {"seed": seed, "dep": dep, "model": "dmvae_cml"}, wait=False,)
             rows[seed][dep]["dmvae_cml"] = evaluate_subjective_model_with_shared(
                 task, res_p.params, probe_val
             )
@@ -365,8 +361,7 @@ def main(argv=None):
                 log_training_csv(f"late_fusion_seed{seed}_dep{dep}_agg{agg}", res_lf)
                 save_checkpoint(
                     f"checkpoints/late_fusion_seed{seed}_dep{dep}_agg{agg}",
-                    res_lf.params, {"seed": seed, "dep": dep, "model": label},
-                )
+                    res_lf.params, {"seed": seed, "dep": dep, "model": label}, wait=False,)
                 rows[seed][dep][label] = evaluate_subjective_model(lf, res_lf.params, lf_val)
 
             acc = rows[seed][dep]["dmvae_cml"]["fused"]["accuracy"]
