@@ -27,6 +27,18 @@ def torch_bias_init(key, shape, dtype, fan_in: int):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def torch_default_kernel_init(key, shape, dtype):
+    """torch nn.Linear/nn.Conv default: kaiming_uniform(a=sqrt(5)), which
+    reduces to U(+-1/sqrt(fan_in)). For Dense kernels (in, out) fan_in is
+    shape[0]; for Conv kernels (kh, kw, in, out) it is kh*kw*in — i.e. the
+    product of every axis but the last, matching torch's fan computation."""
+    fan_in = 1
+    for d in shape[:-1]:
+        fan_in *= d
+    bound = 1.0 / (fan_in**0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 def make_kernel_init(initialization: str = "xavier") -> Callable:
     if initialization == "xavier":
         return nn.initializers.xavier_uniform()
@@ -36,6 +48,8 @@ def make_kernel_init(initialization: str = "xavier") -> Callable:
         return nn.initializers.normal(stddev=0.01)
     if initialization == "uniform":
         return lambda key, shape, dtype: jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+    if initialization == "torch_default":
+        return torch_default_kernel_init
     raise NotImplementedError(initialization)
 
 
@@ -55,6 +69,24 @@ class TorchLinear(nn.Module):
             bias_init=lambda k, s, d: torch_bias_init(k, s, d, fan_in),
             dtype=self.dtype,
         )(x)
+
+
+def _torch_conv(features: int, in_ch: int, dtype, kernel=(3, 3)):
+    """nn.Conv with torch Conv2d's DEFAULT init: kaiming_uniform(a=sqrt(5))
+    kernels and U(+-1/sqrt(fan_in)) biases, fan_in = kh*kw*in_ch. The LUMA
+    encoders (reference classifiers.py:55-217) never call
+    utils.initialize_weights, so they keep these torch defaults — using
+    flax's lecun_normal here inflates each conv layer's output std ~1.7x,
+    which compounds through the stack (round-3 measured: 24x-hot image
+    features at init -> the degenerate DMVAE recon objective diverges to
+    NaN where the reference's trains)."""
+    fan_in = in_ch * kernel[0] * kernel[1]
+    return nn.Conv(
+        features, kernel, padding="SAME",
+        kernel_init=torch_default_kernel_init,
+        bias_init=lambda k, s, d: torch_bias_init(k, s, d, fan_in),
+        dtype=dtype,
+    )
 
 
 class IdentityEncoder(nn.Module):
@@ -131,8 +163,8 @@ class ImageEncoder(nn.Module):
         b = x.shape[0]
         # (B, 3072) -> NHWC (B, 32, 32, 3); reference stores CHW flattened.
         x = x.reshape(b, 3, 32, 32).transpose(0, 2, 3, 1)
-        for ch in (32, 64, 128):
-            x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        for in_ch, ch in ((3, 32), (32, 64), (64, 128)):
+            x = _torch_conv(ch, in_ch, self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -144,11 +176,13 @@ class ImageEncoder(nn.Module):
                     deterministic=not train,
                 )(x)
         x = x.reshape(b, -1)
-        x = TorchLinear(512, dtype=self.dtype)(x)
+        # torch-DEFAULT kernels (not xavier): see _torch_conv docstring.
+        x = TorchLinear(512, kernel_init_name="torch_default", dtype=self.dtype)(x)
         x = nn.relu(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return TorchLinear(self.output_dim, dtype=self.dtype)(x)
+        return TorchLinear(self.output_dim, kernel_init_name="torch_default",
+                           dtype=self.dtype)(x)
 
 
 class AudioEncoder(nn.Module):
@@ -174,15 +208,17 @@ class AudioEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.use_2d:
             return self._forward_2d(x, train)
-        x = TorchLinear(128, dtype=self.dtype)(x)
+        # torch-DEFAULT kernels (not xavier): see _torch_conv docstring.
+        x = TorchLinear(128, kernel_init_name="torch_default", dtype=self.dtype)(x)
         x = nn.relu(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = TorchLinear(256, dtype=self.dtype)(x)
+        x = TorchLinear(256, kernel_init_name="torch_default", dtype=self.dtype)(x)
         x = nn.relu(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return TorchLinear(self.output_dim, dtype=self.dtype)(x)
+        return TorchLinear(self.output_dim, kernel_init_name="torch_default",
+                           dtype=self.dtype)(x)
 
     def _forward_2d(self, x, train: bool):
         b = x.shape[0]
@@ -190,8 +226,8 @@ class AudioEncoder(nn.Module):
             x = x[..., None]
         elif x.ndim == 4 and x.shape[1] == 1:  # torch NCHW -> NHWC
             x = jnp.transpose(x, (0, 2, 3, 1))
-        for i, ch in enumerate((32, 64, 128)):
-            x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        for i, (in_ch, ch) in enumerate(((1, 32), (32, 64), (64, 128))):
+            x = _torch_conv(ch, in_ch, self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
             if i < 2:
@@ -203,7 +239,8 @@ class AudioEncoder(nn.Module):
                         deterministic=not train,
                     )(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 128)
-        return TorchLinear(self.output_dim, dtype=self.dtype)(x.reshape(b, -1))
+        return TorchLinear(self.output_dim, kernel_init_name="torch_default",
+                           dtype=self.dtype)(x.reshape(b, -1))
 
 
 class TextEncoder(nn.Module):
@@ -217,12 +254,14 @@ class TextEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch-DEFAULT kernels (not xavier): see _torch_conv docstring.
         for _ in range(2):
-            x = TorchLinear(256, dtype=self.dtype)(x)
+            x = TorchLinear(256, kernel_init_name="torch_default", dtype=self.dtype)(x)
             x = nn.relu(x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return TorchLinear(self.output_dim, dtype=self.dtype)(x)
+        return TorchLinear(self.output_dim, kernel_init_name="torch_default",
+                           dtype=self.dtype)(x)
 
 
 ENCODER_REGISTRY = {

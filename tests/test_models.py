@@ -364,3 +364,54 @@ def test_fusion_library_golden_vs_reference():
     }
     ours = F.LowRankTensorFusion(input_dims=(d0, d1), output_dim=6, rank=3)
     close(ours.apply({"params": params}, [aj, bj]), ref([at, bt]))
+
+
+def test_luma_encoder_torch_default_init_law():
+    """The LUMA encoders keep torch's DEFAULT init (kaiming_uniform(a=sqrt(5))
+    => U(+-1/sqrt(fan_in)) kernels) — the reference never applies
+    utils.initialize_weights to them (classifiers.py:133-217 vs :41). Round 3
+    found xavier/flax-default kernels here made init features 3.6x (audio MLP)
+    to 24x (image conv stack) too hot, which drove the LUMA DMVAE's
+    recon-of-trainable-features objective to NaN by epoch ~11 while the
+    reference's trains; this pins the U(+-1/sqrt(fan_in)) law per layer."""
+    import jax
+    import numpy as np
+
+    from disentagled_multimodal_fusion_tpu.models.layers import (
+        AudioEncoder, ImageEncoder, TextEncoder)
+
+    def check(kernel, fan_in, where):
+        w = np.asarray(kernel)
+        bound = 1.0 / np.sqrt(fan_in)
+        assert np.abs(w).max() <= bound + 1e-7, (where, np.abs(w).max(), bound)
+        # uniform(-b, b) has std b/sqrt(3); xavier/lecun would violate this
+        expected = bound / np.sqrt(3.0)
+        assert abs(w.std() - expected) / expected < 0.2, (where, w.std(), expected)
+
+    enc = AudioEncoder(input_dim=40, output_dim=8, dropout=0.0, use_2d=False)
+    p = enc.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 40)), train=False)["params"]
+    dense = [v["Dense_0"]["kernel"] for k, v in sorted(p.items())]
+    for k in dense:
+        check(k, k.shape[0], "audio dense")
+
+    enc = TextEncoder(input_dim=16, output_dim=8, dropout=0.0)
+    p = enc.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 16)), train=False)["params"]
+    for k, v in sorted(p.items()):
+        kern = v["Dense_0"]["kernel"]
+        check(kern, kern.shape[0], "text dense")
+
+    enc = ImageEncoder(output_dim=8, dropout=0.0)
+    p = enc.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 3072)), train=False)["params"]
+    flat = jax.tree_util.tree_flatten_with_path(p)[0]
+    n_conv = n_dense = 0
+    for path, leaf in flat:
+        names = [getattr(q, "key", "") for q in path]
+        if "kernel" not in str(names):
+            continue
+        if leaf.ndim == 4:  # conv (kh, kw, in, out)
+            check(leaf, leaf.shape[0] * leaf.shape[1] * leaf.shape[2], f"conv {names}")
+            n_conv += 1
+        elif leaf.ndim == 2:
+            check(leaf, leaf.shape[0], f"dense {names}")
+            n_dense += 1
+    assert n_conv == 3 and n_dense == 2, (n_conv, n_dense)
