@@ -9,10 +9,18 @@ vectorised over views (the reference loops over views in Python).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-_LOG1E13 = 13.0 * jnp.log(10.0)  # log(1e13), computed in f32
+# log(1e13) as a python float: importing this module must NOT initialize a
+# JAX backend (an import-time jnp op did exactly that, and under the axon
+# sitecustomize — which force-pins the platform config — it dialed the TPU
+# relay from every subprocess, even ones that set JAX_PLATFORMS=cpu).
+# Bit-exact with the previous f32 computation: f32(13.0 * log(10)) rounds
+# to the same value from the f64 product (verified on the CPU backend).
+_LOG1E13 = 13.0 * math.log(10.0)
 
 
 def evidence_activation(h: jax.Array, activation: str = "exp") -> jax.Array:

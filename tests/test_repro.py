@@ -21,7 +21,13 @@ import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, "@@ROOT@@")
 from disentagled_multimodal_fusion_tpu.runners.common import cell_seed
-import jax, jax.numpy as jnp
+import jax
+# The env var alone is NOT enough: the axon sitecustomize's register()
+# overrides the platform selection at the jax.config level, so without this
+# the child silently computed on the shared TPU relay (slow compiles were
+# the old flake; a relay outage was a hard failure).
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
 import numpy as np
 from disentagled_multimodal_fusion_tpu.core.tasks import build_late_fusion_task
 from disentagled_multimodal_fusion_tpu.core.train import train
