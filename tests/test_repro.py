@@ -86,6 +86,39 @@ def test_training_bit_stable_across_processes():
     assert a["train_loss"] == b["train_loss"]
 
 
+def test_package_import_initializes_no_backend():
+    """Importing any module of the package must not initialize a JAX
+    backend. An import-time jnp op (ops/evidence.py's old log(1e13)
+    constant) made every importer dial whatever platform the process was
+    pinned to — including the axon TPU relay from subprocesses that had
+    set JAX_PLATFORMS=cpu, because the axon sitecustomize overrides the
+    env var at the jax.config level. Imports must stay backend-free so
+    callers can pick their platform after import.
+    """
+    import json
+
+    child = r"""
+import sys, json
+sys.path.insert(0, "@@ROOT@@")
+import pkgutil, importlib
+import disentagled_multimodal_fusion_tpu as pkg
+mods = [m.name for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + ".")]
+for name in mods:
+    importlib.import_module(name)
+import jax
+from jax._src import xla_bridge
+print(json.dumps({"n_modules": len(mods), "backends": list(xla_bridge._backends)}))
+""".replace("@@ROOT@@", str(REPO_ROOT))
+    out = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["n_modules"] >= 40, res
+    assert res["backends"] == [], f"package import initialized backends: {res}"
+
+
 def test_hash_not_used_for_keys():
     """Guard: no PRNG seeding via builtin hash() in the runners."""
     runners = REPO_ROOT / "disentagled_multimodal_fusion_tpu" / "runners"
