@@ -251,17 +251,24 @@ def bench_torch(xs_np, dims) -> float:
     return per_epoch * 1000.0
 
 
-def _wait_for_backend(max_tries: int = 8, sleep_s: int = 45) -> None:
+def _wait_for_backend(max_tries: int | None = None, sleep_s: int | None = None) -> None:
     """Survive a transient TPU-relay outage at bench time.
 
     The axon relay occasionally restarts; worse, its plugin registration
     happens at interpreter startup (sitecustomize), so once it has failed
     in this process no in-process retry can recover. On a failed backend
     probe, sleep and re-exec this script (fresh interpreter = fresh
-    registration), bounded by DMF_BENCH_BACKEND_TRIES.
+    registration), bounded by DMF_BENCH_BACKEND_TRIES. Window defaults to
+    20 tries x 90 s (~30 min) — relay outages observed here run hours, so
+    a short window fails exactly when the retry matters most; the wait
+    only happens when the immediate alternative is a certain failure.
     """
     import os
 
+    if max_tries is None:
+        max_tries = int(os.environ.get("DMF_BENCH_BACKEND_MAX_TRIES", "20"))
+    if sleep_s is None:
+        sleep_s = int(os.environ.get("DMF_BENCH_BACKEND_SLEEP", "90"))
     tries = int(os.environ.get("DMF_BENCH_BACKEND_TRIES", "0"))
     try:
         from disentagled_multimodal_fusion_tpu.core.setup import configure
