@@ -440,6 +440,12 @@ def main(argv=None):
              "reference lacks entirely)",
     )
     parser.add_argument(
+        "--skip-report", action="store_true",
+        help="skip the final report write (used by sweep_parallel workers, "
+             "whose rows are merged and reported once by the orchestrator — "
+             "prevents partial worker reports clobbering the canonical one)",
+    )
+    parser.add_argument(
         "--rows-file", default=None, metavar="PATH",
         help="crash-resilient sweeps: after every (condition, dataset) cell "
              "the accumulated result rows are checkpointed to PATH (JSON); "
@@ -469,8 +475,7 @@ def main(argv=None):
         build_probe_task,
         embed_dataset,
     )
-    from ..eval.analysis import build_metrics_dataframe_datasets
-    from .common import load_config, main_columns, make_getter, write_report
+    from .common import load_config, make_getter
 
     C = make_getter(load_config("config.yaml"))
     if args.dtype != "float32":
@@ -615,6 +620,29 @@ def main(argv=None):
     finally:
         _close_profile()
 
+    df = None
+    if not args.skip_report:
+        df = write_sweep_report(
+            rows, C("logging.datasets_excel_path", "logs/dataset_analysis.xlsx")
+        )
+    from ..core.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # async saves must be durable before we declare done
+    print(f"sweep done in {time.time() - t_start:.1f}s")
+    return df
+
+
+def write_sweep_report(rows, excel_path):
+    """Flatten nested sweep rows and write the 3-sheet report.
+
+    Shared by the in-process sweep above and the dataset-parallel
+    orchestrator (sweep_parallel.py), so a merged multi-process sweep
+    produces byte-identical reports to a sequential one. Mirrors the
+    reference's grouped-Excel export (run.py:329-343).
+    """
+    from ..eval.analysis import build_metrics_dataframe_datasets
+    from .common import main_columns, write_report
+
     df = build_metrics_dataframe_datasets(rows)
     df["seed"] = df["seed"].astype(int)
     df_main = main_columns(df, ["seed", "type", "dataset", "model"])
@@ -632,12 +660,8 @@ def main(argv=None):
             "all_results": df,
             "grouped_results": df_grouped,
         },
-        C("logging.datasets_excel_path", "logs/dataset_analysis.xlsx"),
+        excel_path,
     )
-    from ..core.checkpoint import wait_for_checkpoints
-
-    wait_for_checkpoints()  # async saves must be durable before we declare done
-    print(f"sweep done in {time.time() - t_start:.1f}s")
     return df
 
 
