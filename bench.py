@@ -280,8 +280,17 @@ def _wait_for_backend(max_tries: int | None = None, sleep_s: int | None = None) 
         return
     except Exception as e:  # noqa: BLE001 — any backend-init failure retries
         if tries + 1 >= max_tries:
-            _log(f"backend unavailable after {max_tries} tries: {e}")
-            raise
+            if os.environ.get("DMF_BENCH_NO_CPU_FALLBACK"):
+                _log(f"backend unavailable after {max_tries} tries: {e}")
+                raise
+            # Last resort: a clearly-labeled CPU measurement beats an empty
+            # benchmark artifact. The JSON carries backend+degraded fields so
+            # the number can never be mistaken for a TPU result.
+            _log(f"backend unavailable after {max_tries} tries: {e}; "
+                 "falling back to a DEGRADED CPU measurement")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["DMF_BENCH_CPU_FALLBACK"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
         _log(f"backend probe failed (try {tries + 1}/{max_tries}): {e}; re-exec in {sleep_s}s")
         time.sleep(sleep_s)
         os.environ["DMF_BENCH_BACKEND_TRIES"] = str(tries + 1)
@@ -289,15 +298,27 @@ def _wait_for_backend(max_tries: int | None = None, sleep_s: int | None = None) 
 
 
 def main():
+    import os
+
     _wait_for_backend()
+    cpu_fallback = bool(os.environ.get("DMF_BENCH_CPU_FALLBACK"))
+    if cpu_fallback:
+        # keep the degraded run to ~minutes: 10 epochs still amortizes the
+        # per-epoch cost (timing already excludes compilation)
+        globals()["EPOCHS_JAX"] = int(os.environ.get("DMF_BENCH_CPU_EPOCHS", "10"))
+        _log(f"CPU FALLBACK MODE: {EPOCHS_JAX} epochs; the reported value is "
+             "a host-CPU number, NOT TPU performance")
     xs_np, dims = load_data()
     _log(f"HandWritten train split: {xs_np[0].shape[0]} rows, dims {dims}")
     ours_ms, flops_epoch = bench_jax(xs_np, dims)
     bf16_ms, _ = bench_jax(xs_np, dims, dtype="bfloat16")
     vmap_ms, vmap_flops = bench_jax_vmapped(xs_np, dims)
     torch_ms = bench_torch(xs_np, dims)
+    import jax
+
     out = {
         "metric": "handwritten_dmvae_epoch_ms",
+        "backend": jax.default_backend(),
         "value": round(ours_ms, 3),
         "unit": "ms",
         "vs_baseline": round(torch_ms / ours_ms, 2),
@@ -322,6 +343,12 @@ def main():
             "bit-parity, not an implementation gap"
         ),
     }
+    if cpu_fallback:
+        out["degraded"] = (
+            f"TPU backend unavailable after retries; measured on host CPU at "
+            f"{EPOCHS_JAX} epochs — NOT comparable to TPU rounds (see "
+            f"BENCH_r02.json for the last TPU measurement)"
+        )
     print(json.dumps(out))
 
 
