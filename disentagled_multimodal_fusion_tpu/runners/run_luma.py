@@ -58,6 +58,13 @@ def main(argv=None):
                         help="split vmapped trainings into exact-resume "
                              "segments of this many epochs (keeps single "
                              "device executions short)")
+    parser.add_argument("--rows-file", default=None, metavar="PATH",
+                        help="crash-resilient protocol: result rows are "
+                             "checkpointed to PATH after every seed; on "
+                             "restart, completed seeds are skipped (same "
+                             "contract as run.py --rows-file; in "
+                             "--vmap-seeds mode the whole block is skipped "
+                             "only when every seed is complete)")
     from .common import (
         add_force_vmap_flag, add_mesh_args, build_runner_mesh, guard_vmap_seeds,
     )
@@ -181,9 +188,44 @@ def main(argv=None):
     rows = {}
     t_start = time.time()
 
+    # ---- crash-resilient rows checkpoint (--rows-file), run.py contract ----
+    import json as _json
+    from pathlib import Path as _Path
+
+    n_models = 6
+
+    def _seed_complete(s):
+        return len(rows.get(s, {}).get("Normal", {}).get("LUMA", {})) >= n_models
+
+    if args.rows_file and _Path(args.rows_file).exists():
+        saved = _json.loads(_Path(args.rows_file).read_text())
+        rows = {int(s): conds for s, conds in saved.items()}
+        done = [s for s in seeds if _seed_complete(s)]
+        print(f"--rows-file: resuming; {len(done)} completed seed(s) found "
+              f"{done}", flush=True)
+        # rebuild the per-model OOD accumulators from the stored rows so a
+        # resumed --ood-eval summary still spans every completed seed
+        for s in done:
+            for name, info in rows[s]["Normal"]["LUMA"].items():
+                if "ood" in info:
+                    ood_rows.setdefault(name, []).append(info["ood"])
+
+    def _save_rows():
+        if not args.rows_file:
+            return
+        from ..core.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # rows carry checkpoint paths — make them durable
+        tmp = _Path(args.rows_file).with_suffix(".tmp")
+        tmp.write_text(_json.dumps(rows))
+        tmp.replace(args.rows_file)
+
     # axon-relay safety guard (see runners/common.py:vmap_seeds_unsafe)
     args.vmap_seeds = guard_vmap_seeds(args, len(seeds))
-    if args.vmap_seeds and len(seeds) > 1:
+    if args.vmap_seeds and len(seeds) > 1 and all(_seed_complete(s) for s in seeds):
+        print("--rows-file: every seed complete, skipping training", flush=True)
+        seeds_to_loop = []
+    elif args.vmap_seeds and len(seeds) > 1:
         # ---- all seeds as one vmapped program per model type; the LUMA
         # corpus is shared across seeds via data_broadcast ----
         t0 = time.time()
@@ -324,11 +366,16 @@ def main(argv=None):
             import numpy as _np
             print(f"{name} x{len(seeds)}: fused_acc {_np.mean(accs):.4f} "
                   f"+/- {_np.std(accs):.4f}", flush=True)
+        _save_rows()
         seeds_to_loop = []
     else:
         seeds_to_loop = seeds
 
     for seed in seeds_to_loop:
+        if _seed_complete(seed):
+            print(f"[seed {seed}] already complete (--rows-file), skipping",
+                  flush=True)
+            continue
         t0 = time.time()
         rows[seed] = {"Normal": {"LUMA": {}}}
         out = rows[seed]["Normal"]["LUMA"]
@@ -432,6 +479,7 @@ def main(argv=None):
             info["path"] = path
             out[name] = info
             print(f"[seed {seed}] {name}: fused_acc={info['fused']['accuracy']:.4f}", flush=True)
+        _save_rows()
         print(f"[seed {seed}] done in {time.time() - t0:.1f}s", flush=True)
 
     df = build_metrics_dataframe_datasets(rows)
