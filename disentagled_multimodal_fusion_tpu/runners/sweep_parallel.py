@@ -104,6 +104,11 @@ def merge_rows(paths):
     """
     rows = {}
     for p in paths:
+        if not Path(p).exists():
+            # a worker can exit 0 with nothing to do (e.g. a condition
+            # filter matching no cells) — warn rather than crash the merge
+            print(f"warning: no rows file at {p}; skipping", file=sys.stderr)
+            continue
         saved = json.loads(Path(p).read_text())
         for s, conds in saved.items():
             seed_rows = rows.setdefault(int(s), {})
