@@ -58,6 +58,13 @@ def main(argv=None):
                         help="split vmapped trainings into exact-resume "
                              "segments of this many epochs (keeps single "
                              "device executions short)")
+    parser.add_argument(
+        "--dtype", choices=["float32", "bfloat16"], default="float32",
+        help="matmul compute dtype (params/losses stay f32; bfloat16 runs "
+             "the encoder/decoder/head matmuls — including the LUMA image "
+             "CNN, the one compute-dense stack here — on the MXU in bf16; "
+             "also the relay-safe --vmap-seeds mode, see runners/common.py)",
+    )
     parser.add_argument("--rows-file", default=None, metavar="PATH",
                         help="crash-resilient protocol: result rows are "
                              "checkpointed to PATH after every seed; on "
@@ -91,6 +98,15 @@ def main(argv=None):
         build_probe_task,
         embed_dataset_chunked,
     )
+    if args.dtype != "float32":
+        from functools import partial
+
+        build_dmvae_task = partial(build_dmvae_task, dtype=args.dtype)
+        build_probe_task = partial(build_probe_task, dtype=args.dtype)
+        build_disentangled_probe_task = partial(
+            build_disentangled_probe_task, dtype=args.dtype
+        )
+        build_late_fusion_task = partial(build_late_fusion_task, dtype=args.dtype)
     from ..core.train import train, train_many
     from ..data.luma import get_luma_arrays, get_luma_ood_arrays
     from ..eval.analysis import (
@@ -221,7 +237,7 @@ def main(argv=None):
         tmp.replace(args.rows_file)
 
     # axon-relay safety guard (see runners/common.py:vmap_seeds_unsafe)
-    args.vmap_seeds = guard_vmap_seeds(args, len(seeds))
+    args.vmap_seeds = guard_vmap_seeds(args, len(seeds), args.dtype)
     if args.vmap_seeds and len(seeds) > 1 and all(_seed_complete(s) for s in seeds):
         print("--rows-file: every seed complete, skipping training", flush=True)
         seeds_to_loop = []

@@ -37,6 +37,13 @@ def main(argv=None):
                         help="disentangling backbone: DMVAE (reference "
                              "protocol) or DisentangledSSL (drop-in, "
                              "disentangledssl.py:17-194)")
+    parser.add_argument(
+        "--dtype", choices=["float32", "bfloat16"], default="float32",
+        help="matmul compute dtype for DMVAE/probe/late-fusion fits "
+             "(params/losses stay f32; the DisentangledSSL backbone always "
+             "runs f32 — KB-scale MLPs are HBM-bound, bf16 buys nothing "
+             "there, see docs/PERF.md)",
+    )
     from .common import (
         add_force_vmap_flag, add_mesh_args, build_runner_mesh, guard_vmap_seeds,
     )
@@ -58,6 +65,12 @@ def main(argv=None):
         embed_dataset,
         embed_dataset_ssl,
     )
+    if args.dtype != "float32":
+        from functools import partial
+
+        build_dmvae_task = partial(build_dmvae_task, dtype=args.dtype)
+        build_probe_task = partial(build_probe_task, dtype=args.dtype)
+        build_late_fusion_task = partial(build_late_fusion_task, dtype=args.dtype)
     from ..core.train import train
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -105,7 +118,7 @@ def main(argv=None):
     t_start = time.time()
 
     # axon-relay safety guard (see runners/common.py:vmap_seeds_unsafe)
-    args.vmap_seeds = guard_vmap_seeds(args, len(seeds))
+    args.vmap_seeds = guard_vmap_seeds(args, len(seeds), args.dtype)
     if args.vmap_seeds and len(seeds) > 1 and args.backbone == "dmvae":
         from ..core.train import train_many
         from numpy import stack as np_stack
