@@ -150,31 +150,47 @@ def main(argv=None):
     workers = [Worker(r, part, args, passthrough, logs_dir)
                for r, part in enumerate(parts)]
 
-    t0 = time.time()
-    for w in workers:
-        w.launch()
+    # plain `kill` (SIGTERM) must run the worker cleanup below, not die
+    # mid-syscall leaving orphans on the host
+    import signal
 
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+
+    t0 = time.time()
     failed = []
     pending = list(workers)
-    while pending:
-        time.sleep(2)
-        for w in list(pending):
-            rc = w.poll()
-            if rc is None:
-                continue
-            if rc == 0:
-                print(f"[w{w.rank}] done in {time.time() - t0:.1f}s", flush=True)
-                pending.remove(w)
-            elif w.attempts <= args.max_retries:
-                print(f"[w{w.rank}] exit {rc}; retrying "
-                      f"({w.attempts}/{args.max_retries} used) — see "
-                      f"{w.log_path}", flush=True)
-                w.launch()
-            else:
-                print(f"[w{w.rank}] exit {rc}; retries exhausted — see "
-                      f"{w.log_path}", flush=True)
-                failed.append(w)
-                pending.remove(w)
+    try:
+        for w in workers:
+            w.launch()
+        while pending:
+            time.sleep(2)
+            for w in list(pending):
+                rc = w.poll()
+                if rc is None:
+                    continue
+                if rc == 0:
+                    print(f"[w{w.rank}] done in {time.time() - t0:.1f}s",
+                          flush=True)
+                    pending.remove(w)
+                elif w.attempts <= args.max_retries:
+                    print(f"[w{w.rank}] exit {rc}; retrying "
+                          f"({w.attempts}/{args.max_retries} used) — see "
+                          f"{w.log_path}", flush=True)
+                    w.launch()
+                else:
+                    print(f"[w{w.rank}] exit {rc}; retries exhausted — see "
+                          f"{w.log_path}", flush=True)
+                    failed.append(w)
+                    pending.remove(w)
+    except BaseException:
+        # don't orphan workers if the orchestrator dies (Ctrl-C, crash):
+        # completed cells are already durable in the per-worker rows files
+        for w in pending:
+            if w.proc is not None and w.proc.poll() is None:
+                w.proc.terminate()
+                print(f"[w{w.rank}] terminated (orchestrator exiting); "
+                      f"resume later with the same command", flush=True)
+        raise
 
     if failed:
         for w in failed:
