@@ -184,8 +184,6 @@ def main(argv=None):
             y_ood = jnp.zeros(len(y_ood_np), y_tr.dtype)
             print(f"OOD eval: {len(y_ood_np)} held-out rows from "
                   f"{len(np.unique(y_ood_np))} OOD classes", flush=True)
-    ood_rows: dict = {}
-
     def ood_info(task, params, ms, id_data, ood_data):
         """OOD-vs-ID AUROC from fused evidential uncertainty."""
         ev_id = task.aggregation(_task_evidences(task, params, id_data, ms))
@@ -219,12 +217,6 @@ def main(argv=None):
         done = [s for s in seeds if _seed_complete(s)]
         print(f"--rows-file: resuming; {len(done)} completed seed(s) found "
               f"{done}", flush=True)
-        # rebuild the per-model OOD accumulators from the stored rows so a
-        # resumed --ood-eval summary still spans every completed seed
-        for s in done:
-            for name, info in rows[s]["Normal"]["LUMA"].items():
-                if "ood" in info:
-                    ood_rows.setdefault(name, []).append(info["ood"])
 
     def _save_rows():
         if not args.rows_file:
@@ -369,7 +361,6 @@ def main(argv=None):
                 if xs_ood is not None:
                     od = lf_ood if is_lf else jax.tree.map(lambda a: a[i], probe_ood)
                     info["ood"] = ood_info(task, p_i, ms_i, te_i, od)
-                    ood_rows.setdefault(name, []).append(info["ood"])
                 info["path"] = save_checkpoint(
                     f"checkpoints/{name}_fusion_dsLUMA_seed{s}", p_i,
                     {"model": name, "dataset": "LUMA", "seed": s}, wait=False,)
@@ -482,7 +473,6 @@ def main(argv=None):
             if xs_ood is not None:
                 od = lf_ood if name.endswith("_fusion") else probe_ood
                 info["ood"] = ood_info(task, res_m.params, res_m.model_state, te_d, od)
-                ood_rows.setdefault(name, []).append(info["ood"])
             log_training_csv(f"{name}_fusion_dsLUMA_seed{seed}", res_m)
             path = save_checkpoint(
                 f"checkpoints/{name}_fusion_dsLUMA_seed{seed}", res_m.params,
@@ -513,6 +503,14 @@ def main(argv=None):
         {"main_grouped": df_main_grouped, "all_results": df, "grouped_results": df_grouped},
         "logs/luma_analysis.xlsx",
     )
+    # the per-model OOD table derives from the (possibly resumed) rows —
+    # single source of truth, so a partial vmapped resume can't count a
+    # completed seed twice (rebuild-then-retrain would have)
+    ood_rows: dict = {}
+    for s in seeds:
+        for name, info in rows.get(s, {}).get("Normal", {}).get("LUMA", {}).items():
+            if "ood" in info:
+                ood_rows.setdefault(name, []).append(info["ood"])
     if ood_rows:
         import json
         from pathlib import Path

@@ -287,6 +287,36 @@ def test_evaluate_reload_luma(tmp_path):
         )
 
 
+def test_luma_rows_file_ood_resume(tmp_path):
+    """run_luma --rows-file + --ood-eval: resuming must not double-count a
+    completed seed's OOD rows. The OOD summary derives from the rows
+    checkpoint (single source of truth) — the regression risk is the
+    vmapped path, which retrains EVERY seed unless all are complete, so an
+    accumulator rebuilt at resume time would count the completed seed
+    twice."""
+    import json
+    from pathlib import Path
+
+    from disentagled_multimodal_fusion_tpu.data.luma import make_fake_luma
+    from disentagled_multimodal_fusion_tpu.runners.run_luma import main as luma_main
+
+    root = make_fake_luma(
+        tmp_path / "luma", n_classes=3, train_per_class=4, test_per_class=2,
+        ood_classes=1)
+    rows_file = str(tmp_path / "rows.json")
+    base = ["--data-path", root, "--dmvae-epochs", "2", "--probe-epochs", "2",
+            "--rows-file", rows_file, "--ood-eval"]
+    luma_main(base + ["--seeds", "0"])
+    assert set(json.loads(Path(rows_file).read_text())) == {"0"}
+    # resume with an extra seed through the vmapped path: seed 0 is already
+    # complete in the rows file, both seeds retrain
+    luma_main(base + ["--seeds", "0", "1", "--vmap-seeds"])
+    ood = json.loads(Path("logs/luma_ood.json").read_text())
+    assert ood["per_seed"], "OOD summary missing"
+    for model, rs in ood["per_seed"].items():
+        assert len(rs) == 2, (model, len(rs))
+
+
 def test_evaluate_reload_noise_condition(tmp_path):
     """runners/evaluate reloads a Noise-condition .mat checkpoint (the
     _noise suffix + test-row noise injection replay)."""
