@@ -181,7 +181,7 @@ def _eval_luma(args, _C):
         "max_length": C("data.audio.max_length", 3.0),
         "n_mfcc": C("data.audio.n_mfcc", 40),
         "use_mfcc": C("data.audio.use_mfcc", True),
-        "use_2d": C("data.audio.use_2d", False),
+        "use_2d": args.use_2d or C("data.audio.use_2d", False),
     }
     text_cfg = {
         "max_length": C("data.text.max_length", 128),
@@ -194,6 +194,7 @@ def _eval_luma(args, _C):
     }
     _, _, xs_te_np, y_te_np, num_classes, _, _ = get_luma_arrays(
         data_path, audio_cfg, text_cfg, image_cfg,
+        replicate_image_bug=args.replicate_image_bug,
     )
     xs_te = tuple(jnp.asarray(x) for x in xs_te_np)
     y_te = jnp.asarray(y_te_np)
@@ -371,6 +372,12 @@ def main(argv=None):
                              "(synthetic only: n_samples=1000)")
     parser.add_argument("--data-path", default=None,
                         help="compiled LUMA corpus path (LUMA only)")
+    parser.add_argument("--use-2d", action="store_true",
+                        help="checkpoint was trained with run_luma --use-2d "
+                             "(2D-spectrogram audio; LUMA only)")
+    parser.add_argument("--replicate-image-bug", action="store_true",
+                        help="checkpoint was trained with run_luma "
+                             "--replicate-image-bug (LUMA only)")
     parser.add_argument("--checkpoint", default=None,
                         help="override the systematic checkpoint path")
     parser.add_argument("--dmvae-checkpoint", default=None)
