@@ -19,6 +19,15 @@ carry no .cuda()) on the fixture corpus at extended budget and shows
 i.e. the collapse reproduces with the reference's own modules end-to-end,
 independent of our framework.
 
+OUTCOME (round 3, archived results/luma_collapse_torch*.json): the test
+REFUTED the round-2 story — ``collapse_confirmed: false`` on seeds 0-2
+(probe accuracy 57.5/100/81.7% vs 16.7% chance). The feature-encoder norm
+does decay monotonically (the objective's real signature), but the
+embeddings stay informative at this scale. The round-2 JAX-side collapse
+was OUR encoder init-law bug (xavier/flax-default kernels where torch
+keeps kaiming_uniform(a=sqrt(5)) defaults), fixed in models/layers.py —
+see RESULTS.md §LUMA.
+
 Run:
   python tools/luma_collapse_torch.py --epochs 100 --probe-epochs 200
 Writes results/luma_collapse_torch.json.
