@@ -496,8 +496,22 @@ def build_intermediate_fusion_task(
     annealing_start: int = 20,
     feature_encoders: Optional[Tuple] = None,
     dtype=None,
+    fusion: str = "concat",
+    fusion_output_dim: int = 64,
+    fusion_rank: int = 8,
 ) -> EvidentialTask:
-    """Concat fusion -> single head (baselines.py:153-252)."""
+    """Fusion -> single head (baselines.py:153-252).
+
+    ``fusion`` picks the fusion op from the library registry
+    (models/fusions.py ``INTERMEDIATE_FUSIONS``; the reference's executed
+    choice is ``"concat"``, baselines.py:161); ``fusion_output_dim`` /
+    ``fusion_rank`` parameterize the projecting fusions.
+    """
+    from ..models.fusions import build_fusion
+
+    fusion_mod, fused_dim = build_fusion(
+        fusion, tuple(output_dims), output_dim=fusion_output_dim, rank=fusion_rank
+    )
     model = IntermediateFusion(
         output_dims=tuple(output_dims),
         num_classes=num_classes,
@@ -505,6 +519,8 @@ def build_intermediate_fusion_task(
         dropout=dropout,
         feature_encoders=feature_encoders,
         dtype=_norm_dtype(dtype),
+        fusion=fusion_mod,
+        fused_dim=fused_dim,
     )
     xs0 = [jnp.zeros((2, d)) for d in output_dims]
     variables = model.init({"params": rng, "dropout": rng}, xs0, train=True)

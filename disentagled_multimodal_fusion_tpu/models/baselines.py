@@ -55,7 +55,13 @@ class LateFusion(nn.Module):
 
 
 class IntermediateFusion(nn.Module):
-    """Concat fusion -> single evidential head (baselines.py:153-194)."""
+    """Fusion -> single evidential head (baselines.py:153-194).
+
+    The reference hardcodes Concat (baselines.py:161); ``fusion`` accepts
+    any library fusion module over the flat views (models/fusions.py
+    ``build_fusion``), with ``fused_dim`` sizing the head's input layer
+    (defaults reproduce the reference's concat behavior exactly).
+    """
 
     output_dims: Sequence[int]
     num_classes: int = 42
@@ -63,6 +69,8 @@ class IntermediateFusion(nn.Module):
     dropout: float = 0.3
     feature_encoders: Optional[Tuple[nn.Module, ...]] = None
     dtype: Any = None
+    fusion: Optional[nn.Module] = None
+    fused_dim: Optional[int] = None
 
     def setup(self):
         n = len(self.output_dims)
@@ -70,8 +78,9 @@ class IntermediateFusion(nn.Module):
             self.feat_encs = self.feature_encoders
         else:
             self.feat_encs = tuple(IdentityEncoder() for _ in range(n))
+        in_dim = self.fused_dim if self.fused_dim is not None else sum(self.output_dims)
         self.head = EvidentialNN(
-            layers=(sum(self.output_dims), self.hidden_dim),
+            layers=(in_dim, self.hidden_dim),
             output_dims=self.num_classes,
             dropout=self.dropout,
             dtype=self.dtype,
@@ -82,7 +91,12 @@ class IntermediateFusion(nn.Module):
         feats = [
             enc(x.astype(jnp.float32), train=train) for enc, x in zip(self.feat_encs, xs)
         ]
-        fused = jnp.concatenate([f.reshape(f.shape[0], -1) for f in feats], axis=1)
+        flat = [f.reshape(f.shape[0], -1) for f in feats]
+        if self.fusion is not None:
+            fused = self.fusion(flat)
+            fused = fused.reshape(fused.shape[0], -1)
+        else:
+            fused = jnp.concatenate(flat, axis=1)
         return self.head(fused, train=train)
 
 

@@ -61,6 +61,14 @@ class Concat(nn.Module):
         return concat(modalities)
 
 
+class TensorFusion(nn.Module):
+    """Module wrapper over :func:`tensor_fusion` (common_fusions.py:246-276)."""
+
+    @nn.compact
+    def __call__(self, modalities):
+        return tensor_fusion(modalities)
+
+
 class ConcatWithLinear(nn.Module):
     """Concat then Dense (common_fusions.py:67-87)."""
 
@@ -260,3 +268,94 @@ class LateFusionTransformer(nn.Module):
         for _ in range(3):
             h = _TransformerEncoderLayer(self.embed_dim, nhead=3)(h)
         return h[:, -1]
+
+
+class ConcatTransformerFusion(nn.Module):
+    """Concat the flat views, then :class:`LateFusionTransformer` over the
+    concatenated feature axis (one scalar token per feature) — the adapter
+    that lets the reference's LateFusionTransformer (common_fusions.py:444-473,
+    written for a single pre-fused vector) act as an N-view fusion op."""
+
+    embed_dim: int = 9
+
+    @nn.compact
+    def __call__(self, modalities):
+        return LateFusionTransformer(self.embed_dim)(concat(modalities))
+
+
+# --------------------------------------------------------------- registry
+#: Fusions usable as the IntermediateFusion fusion op over flat (B, S_i)
+#: views. NLgate and EarlyFusionTransformer are deliberately excluded:
+#: NLgate's THW/C/TF reshape semantics target video feature maps
+#: (common_fusions.py:347-406), and EarlyFusionTransformer ends in Dense(1)
+#: — a scalar regression output (common_fusions.py:409-441) — so neither
+#: yields a usable fused feature vector for an evidential head.
+INTERMEDIATE_FUSIONS = (
+    "concat",         # sum(dims)                 (the reference's executed choice)
+    "concat_linear",  # ConcatWithLinear -> output_dim
+    "mi_matrix",      # MultiplicativeInteractions2Modal 'matrix' (2 views)
+    "mi_vector",      # MultiplicativeInteractions2Modal 'vector' (2 views)
+    "mi3",            # MultiplicativeInteractions3Modal (3 views)
+    "tensor",         # outer product of 1-augmented views -> prod(dims+1)
+    "lrtf",           # LowRankTensorFusion -> output_dim
+    "lft",            # concat -> LateFusionTransformer -> embed_dim (9)
+)
+
+#: Safety cap for the TensorFusion output width (prod of dims+1 explodes
+#: combinatorially — e.g. HandWritten's 6 views would give ~2e11 features).
+TENSOR_FUSION_MAX_DIM = 1_500_000
+
+
+def build_fusion(name, input_dims, *, output_dim=64, rank=8):
+    """Build a library fusion for flat ``(B, S_i)`` views.
+
+    Returns ``(module, fused_dim)`` where ``module(list_of_views) ->
+    (B, fused_dim)`` and ``fused_dim`` sizes the downstream head's input
+    layer. ``output_dim``/``rank`` parameterize the fusions that project
+    (concat_linear, mi_matrix, mi3, lrtf). See :data:`INTERMEDIATE_FUSIONS`
+    for the supported names and the exclusion rationale.
+    """
+    dims = tuple(int(d) for d in input_dims)
+    n = len(dims)
+    if name == "concat":
+        return Concat(), sum(dims)
+    if name == "concat_linear":
+        return ConcatWithLinear(input_dim=sum(dims), output_dim=output_dim), output_dim
+    if name == "mi_matrix":
+        if n != 2:
+            raise ValueError(f"mi_matrix fuses exactly 2 views, got {n}")
+        return (
+            MultiplicativeInteractions2Modal(
+                input_dims=dims, output_dim=output_dim, output="matrix"
+            ),
+            output_dim,
+        )
+    if name == "mi_vector":
+        if n != 2:
+            raise ValueError(f"mi_vector fuses exactly 2 views, got {n}")
+        return (
+            MultiplicativeInteractions2Modal(
+                input_dims=dims, output_dim=dims[1], output="vector"
+            ),
+            dims[1],
+        )
+    if name == "mi3":
+        if n != 3:
+            raise ValueError(f"mi3 fuses exactly 3 views, got {n}")
+        return MultiplicativeInteractions3Modal(input_dims=dims, output_dim=output_dim), output_dim
+    if name == "tensor":
+        fused_dim = 1
+        for d in dims:
+            fused_dim *= d + 1
+        if fused_dim > TENSOR_FUSION_MAX_DIM:
+            raise ValueError(
+                f"tensor fusion output dim prod(dims+1)={fused_dim} exceeds "
+                f"{TENSOR_FUSION_MAX_DIM} for views {dims}; use lrtf instead"
+            )
+        return TensorFusion(), fused_dim
+    if name == "lrtf":
+        return LowRankTensorFusion(input_dims=dims, output_dim=output_dim, rank=rank), output_dim
+    if name == "lft":
+        mod = ConcatTransformerFusion()
+        return mod, mod.embed_dim
+    raise ValueError(f"unknown fusion {name!r}; supported: {INTERMEDIATE_FUSIONS}")

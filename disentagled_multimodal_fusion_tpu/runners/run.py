@@ -30,7 +30,7 @@ from ..core.setup import configure
 
 def run_condition(
     *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out,
-    fused_dmvae=True, noise=False, mesh=None, include_intermediate=False,
+    fused_dmvae=True, noise=False, mesh=None, intermediate_fusions=(),
     dtype=None,
 ):
     from ..core.checkpoint import save_checkpoint
@@ -159,24 +159,42 @@ def run_condition(
             ),
             lf_train, lf_test,
         ))
-    if include_intermediate:
-        # 7th model (reference baselines.py:153-252, defined but never
-        # swept there): concat fusion -> single evidential head
+    if intermediate_fusions:
+        # extra models (reference baselines.py:153-252, defined but never
+        # swept there): library fusion -> single evidential head. The
+        # concat variant keeps its historical rng (keys[15]) and name so
+        # archived sweeps stay bitwise-reproducible; other fusions fold
+        # their registry index into that key.
         from ..core.tasks import build_intermediate_fusion_task
+        from ..models.fusions import INTERMEDIATE_FUSIONS, build_fusion
 
-        jobs.append((
-            "intermediate_fusion",
-            build_intermediate_fusion_task(
-                rng=keys[15], output_dims=dims, num_classes=num_classes,
-                dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
-                dtype=dtype,
-            ),
-            lf_train, lf_test,
-        ))
+        for fname in intermediate_fusions:
+            jname = ("intermediate_fusion" if fname == "concat"
+                     else f"intermediate_{fname}")
+            try:
+                build_fusion(fname, dims)  # cheap view-count/size check
+            except ValueError as e:
+                print(f"  [{dataset_name}] skipping {jname}: {e}", flush=True)
+                rows_out[jname] = {"skipped": str(e)}
+                continue
+            k = (keys[15] if fname == "concat"
+                 else jax.random.fold_in(keys[15], INTERMEDIATE_FUSIONS.index(fname)))
+            jobs.append((
+                jname,
+                build_intermediate_fusion_task(
+                    rng=k, output_dims=dims, num_classes=num_classes,
+                    dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
+                    dtype=dtype, fusion=fname,
+                ),
+                lf_train, lf_test,
+            ))
 
     for i, (name, task, tr_data, te_data) in enumerate(jobs):
+        # jobs beyond the historical 7 (6 base + concat-intermediate) draw
+        # fresh keys by fold_in so the first 7 keep their archived streams
+        train_rng = keys[8 + i] if i < 7 else jax.random.fold_in(keys[8], 1000 + i)
         res_m = train(
-            rng=keys[8 + i], params=task.params, loss_fn=task.loss_fn,
+            rng=train_rng, params=task.params, loss_fn=task.loss_fn,
             data=tr_data, n_train=n_train, optimizer=task.optimizer,
             epochs=probe_epochs, batch_size=batch_size, drop_last=False,
             val_fn=task.val_fn, val_data=te_data,
@@ -184,7 +202,7 @@ def run_condition(
         )
         # dispatch mirrors run.py:252-255 (intermediate has ONE head ->
         # per-view layout; with_shared needs V >= 2)
-        if name in ("dmvae_dis", "intermediate_fusion"):
+        if name == "dmvae_dis" or name.startswith("intermediate"):
             info = evaluate_subjective_model(task, res_m.params, te_data)
         else:
             info = evaluate_subjective_model_with_shared(task, res_m.params, te_data)
@@ -210,7 +228,7 @@ def run_condition(
 
 def run_condition_vmapped(
     *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
-    fused_dmvae=True, noise=False, mesh=None, include_intermediate=False,
+    fused_dmvae=True, noise=False, mesh=None, intermediate_fusions=(),
     dtype=None,
 ):
     """Seed-vectorised variant of run_condition: all seeds of one
@@ -360,17 +378,30 @@ def run_condition_vmapped(
         ("cml_fusion", lf_builder("cml"), lf_train, lf_test),
         ("avg_fusion", lf_builder("avg"), lf_train, lf_test),
     ]
-    if include_intermediate:
+    if intermediate_fusions:
         from ..core.tasks import build_intermediate_fusion_task
+        from ..models.fusions import build_fusion
 
-        def imf_builder(k):
-            return build_intermediate_fusion_task(
-                rng=k, output_dims=dims, num_classes=num_classes,
-                dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
-                dtype=dtype,
-            )
+        def imf_builder(fname):
+            def b(k):
+                return build_intermediate_fusion_task(
+                    rng=k, output_dims=dims, num_classes=num_classes,
+                    dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
+                    dtype=dtype, fusion=fname,
+                )
+            return b
 
-        jobs.append(("intermediate_fusion", imf_builder, lf_train, lf_test))
+        for fname in intermediate_fusions:
+            jname = ("intermediate_fusion" if fname == "concat"
+                     else f"intermediate_{fname}")
+            try:
+                build_fusion(fname, dims)  # cheap view-count/size check
+            except ValueError as e:
+                print(f"  [{dataset_name}] skipping {jname}: {e}", flush=True)
+                for s_ in seeds:
+                    rows_by_seed[s_][jname] = {"skipped": str(e)}
+                continue
+            jobs.append((jname, imf_builder(fname), lf_train, lf_test))
     for j, (name, builder, tr_d, te_d) in enumerate(jobs):
         tasks = [builder(jax.random.fold_in(k, 10 + j)) for k in seed_keys]
         task = tasks[0]
@@ -385,7 +416,7 @@ def run_condition_vmapped(
         for s, seed in enumerate(seeds):
             params_s = jax.tree.map(lambda a: a[s], res_m.params)
             te_s = jax.tree.map(lambda a: a[s], te_d)
-            if name in ("dmvae_dis", "intermediate_fusion"):
+            if name == "dmvae_dis" or name.startswith("intermediate"):
                 info = evaluate_subjective_model(task, params_s, te_s)
             else:
                 info = evaluate_subjective_model_with_shared(task, params_s, te_s)
@@ -432,6 +463,15 @@ def main(argv=None):
         help="also sweep the IntermediateFusion baseline (concat -> single "
              "evidential head; reference baselines.py:153-252, defined "
              "there but never swept)",
+    )
+    parser.add_argument(
+        "--intermediate-fusion", type=str, nargs="*", default=None,
+        metavar="NAME",
+        help="sweep IntermediateFusion with these library fusion ops "
+             "(models/fusions.py INTERMEDIATE_FUSIONS, e.g. lrtf tensor "
+             "mi_matrix lft; 'concat' is the reference's choice and is what "
+             "--include-intermediate adds); view-count-incompatible fusions "
+             "are skipped per dataset with a warning",
     )
     parser.add_argument(
         "--profile", action="store_true",
@@ -524,7 +564,17 @@ def main(argv=None):
     import json
     from pathlib import Path
 
-    n_models = 7 if args.include_intermediate else 6
+    from ..models.fusions import INTERMEDIATE_FUSIONS
+
+    ifusions = list(args.intermediate_fusion or [])
+    unknown = [f for f in ifusions if f not in INTERMEDIATE_FUSIONS]
+    if unknown:
+        parser.error(f"unknown --intermediate-fusion {unknown}; "
+                     f"supported: {INTERMEDIATE_FUSIONS}")
+    if args.include_intermediate and "concat" not in ifusions:
+        ifusions.insert(0, "concat")
+
+    n_models = 6 + len(ifusions)
 
     def _cell_complete(cond_name, ds_name):
         return all(
@@ -582,7 +632,7 @@ def main(argv=None):
                         quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                         rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
                         noise=is_noise, mesh=mesh,
-                        include_intermediate=args.include_intermediate,
+                        intermediate_fusions=ifusions,
                         dtype=None if args.dtype == "float32" else args.dtype,
                     )
                     for s in seeds:
@@ -611,7 +661,7 @@ def main(argv=None):
                             noise=is_noise, quick=args.quick, jax=jax, jnp=jnp, np=np,
                             builders=builders, rows_out=rows[seed][cond_name][ds_name],
                             fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
-                            include_intermediate=args.include_intermediate,
+                            intermediate_fusions=ifusions,
                             dtype=None if args.dtype == "float32" else args.dtype,
                         )
                         _save_rows()
@@ -643,6 +693,19 @@ def write_sweep_report(rows, excel_path):
     from ..eval.analysis import build_metrics_dataframe_datasets
     from .common import main_columns, write_report
 
+    # drop view-count-incompatible fusion skip markers ({"skipped": reason}
+    # rows satisfy the --rows-file completeness count but carry no metrics)
+    rows = {
+        seed: {
+            cond: {
+                ds: {m: v for m, v in models.items()
+                     if not (isinstance(v, dict) and "skipped" in v)}
+                for ds, models in conds.items()
+            }
+            for cond, conds in by_cond.items()
+        }
+        for seed, by_cond in rows.items()
+    }
     df = build_metrics_dataframe_datasets(rows)
     df["seed"] = df["seed"].astype(int)
     df_main = main_columns(df, ["seed", "type", "dataset", "model"])
