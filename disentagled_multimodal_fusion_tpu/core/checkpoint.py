@@ -16,6 +16,8 @@ from typing import Any, Optional
 import jax
 import numpy as np
 
+from .artifacts import artifact_path
+
 _CKPTR = None
 
 
@@ -60,7 +62,7 @@ def save_checkpoint(
     process exits, or in-flight saves are lost — there is deliberately no
     atexit net (see wait_for_checkpoints).
     """
-    p = Path(path).resolve()
+    p = artifact_path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     ckptr = _checkpointer()
     params = jax.device_get(params)
@@ -84,4 +86,4 @@ def restore_checkpoint(path: str, target: Any) -> Any:
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
         jax.device_get(target),
     )
-    return ckptr.restore(Path(path).resolve(), abstract)
+    return ckptr.restore(artifact_path(path), abstract)

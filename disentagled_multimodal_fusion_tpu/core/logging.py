@@ -16,10 +16,12 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
+from .artifacts import artifact_path
+
 
 def log_training_csv(model_name: str, result, save_dir: str = "logs") -> str:
     """Write per-epoch train/val histories as logs/<model_name>/metrics.csv."""
-    out = Path(save_dir) / model_name
+    out = artifact_path(save_dir) / model_name
     out.mkdir(parents=True, exist_ok=True)
     df = pd.DataFrame(
         {
@@ -42,7 +44,7 @@ def trace(name: str = "trace", log_dir: str = "logs/traces", enabled: bool = Tru
         return
     import jax
 
-    path = str(Path(log_dir) / name)
+    path = str(artifact_path(log_dir) / name)
     Path(path).mkdir(parents=True, exist_ok=True)
     with jax.profiler.trace(path):
         yield

@@ -191,7 +191,9 @@ def write_report(dfs: Dict[str, pd.DataFrame], excel_path: str) -> None:
     """Write the multi-sheet report: pandas/openpyxl when available
     (reference: run.py:340-343), else the vendored dependency-free xlsx
     writer (utils/xlsx.py) — plus CSV sheets alongside either way."""
-    path = Path(excel_path)
+    from ..core.artifacts import artifact_path
+
+    path = artifact_path(excel_path)
     path.parent.mkdir(parents=True, exist_ok=True)
     try:
         with pd.ExcelWriter(path) as writer:

@@ -513,7 +513,8 @@ def main(argv=None):
                 ood_rows.setdefault(name, []).append(info["ood"])
     if ood_rows:
         import json
-        from pathlib import Path
+
+        from ..core.artifacts import artifact_path
 
         summary = {
             name: {
@@ -522,8 +523,9 @@ def main(argv=None):
             }
             for name, rs in ood_rows.items()
         }
-        Path("logs").mkdir(exist_ok=True)
-        Path("logs/luma_ood.json").write_text(
+        ood_path = artifact_path("logs/luma_ood.json")
+        ood_path.parent.mkdir(parents=True, exist_ok=True)
+        ood_path.write_text(
             json.dumps({"mean": summary, "per_seed": ood_rows}, indent=1))
         for name, s in summary.items():
             print(f"OOD {name}: " + " ".join(f"{k}={v:.3f}" for k, v in s.items()),

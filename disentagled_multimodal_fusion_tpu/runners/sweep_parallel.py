@@ -35,6 +35,8 @@ import sys
 import time
 from pathlib import Path
 
+from ..core.artifacts import artifact_path
+
 RUN_MODULE = "disentagled_multimodal_fusion_tpu.runners.run"
 
 
@@ -58,7 +60,7 @@ class Worker:
     def __init__(self, rank, datasets, args, passthrough, logs_dir):
         self.rank = rank
         self.datasets = datasets
-        self.rows_file = str(Path(args.rows_dir) / f"sweep_rows_w{rank}.json")
+        self.rows_file = str(artifact_path(args.rows_dir) / f"sweep_rows_w{rank}.json")
         self.log_path = logs_dir / f"sweep_worker_{rank}.log"
         self.attempts = 0
         self.proc = None
@@ -142,9 +144,9 @@ def main(argv=None):
     C = make_getter(load_config("config.yaml"))
     datasets = args.datasets or C(
         "experiment.normal_datasets", ["CUB", "HandWritten", "PIE", "Scene"])
-    logs_dir = Path("logs")
-    logs_dir.mkdir(exist_ok=True)
-    Path(args.rows_dir).mkdir(parents=True, exist_ok=True)
+    logs_dir = artifact_path("logs")
+    logs_dir.mkdir(parents=True, exist_ok=True)
+    artifact_path(args.rows_dir).mkdir(parents=True, exist_ok=True)
 
     parts = partition(datasets, args.procs)
     workers = [Worker(r, part, args, passthrough, logs_dir)

@@ -17,6 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# Artifact isolation: e2e tests drive the REAL runners, whose artifact
+# templates are cwd-relative (checkpoints/, logs/). Without this, a test
+# run overwrites user sweep artifacts in the repo (it has: a fixture-corpus
+# test clobbered a full-scale LUMA checkpoint mid-diagnosis). The resolver
+# in core/artifacts.py re-roots every relative artifact path here.
+if "DMF_ARTIFACT_ROOT" not in os.environ:
+    import tempfile
+
+    os.environ["DMF_ARTIFACT_ROOT"] = tempfile.mkdtemp(
+        prefix="dmf_test_artifacts_")
+
 import sys
 from pathlib import Path
 

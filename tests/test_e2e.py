@@ -239,6 +239,24 @@ def test_vmap_seeds_axon_guard(monkeypatch, capsys):
     assert common.vmap_seeds_unsafe(5, "float32") is None
 
 
+def test_artifact_root_isolation(tmp_path, monkeypatch):
+    """Relative artifact paths (checkpoints/, logs/) re-root under
+    DMF_ARTIFACT_ROOT; absolute paths pass through. Pins the isolation
+    that keeps runner-driving tests from clobbering repo artifacts."""
+    from disentagled_multimodal_fusion_tpu.core.artifacts import artifact_path
+    from disentagled_multimodal_fusion_tpu.core.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+
+    monkeypatch.setenv("DMF_ARTIFACT_ROOT", str(tmp_path))
+    assert artifact_path("checkpoints/x") == tmp_path / "checkpoints" / "x"
+    assert artifact_path(tmp_path / "abs") == tmp_path / "abs"
+    params = {"w": jnp.arange(4.0)}
+    save_checkpoint("checkpoints/unit_iso", params, wait=True)
+    assert (tmp_path / "checkpoints" / "unit_iso").exists()
+    out = restore_checkpoint("checkpoints/unit_iso", params)
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.arange(4.0))
+
+
 def test_evaluate_reload_synthetic(tmp_path):
     """runners/evaluate round-trips a synthetic-driver checkpoint: the
     reloaded evaluation reproduces the runner's fused accuracy exactly."""
@@ -311,7 +329,9 @@ def test_luma_rows_file_ood_resume(tmp_path):
     # resume with an extra seed through the vmapped path: seed 0 is already
     # complete in the rows file, both seeds retrain
     luma_main(base + ["--seeds", "0", "1", "--vmap-seeds"])
-    ood = json.loads(Path("logs/luma_ood.json").read_text())
+    from disentagled_multimodal_fusion_tpu.core.artifacts import artifact_path
+
+    ood = json.loads(artifact_path("logs/luma_ood.json").read_text())
     assert ood["per_seed"], "OOD summary missing"
     for model, rs in ood["per_seed"].items():
         assert len(rs) == 2, (model, len(rs))
