@@ -28,6 +28,25 @@ was OUR encoder init-law bug (xavier/flax-default kernels where torch
 keeps kaiming_uniform(a=sqrt(5)) defaults), fixed in models/layers.py —
 see RESULTS.md §LUMA.
 
+SCALE MATTERS (round 3, full-scale corpus): at the fixture's 600 rows the
+100-epoch budget is ~1k optimizer steps of norm decay; at the full 21000-
+row corpus it is ~33k steps, and the archived full-scale extended sweep's
+DMVAE checkpoints embed every input to a CONSTANT (per-dim std ~1e-5,
+ridge probe at chance) while raw-view LateFusion reaches 86-94%. Pass
+``--data-path data/luma_fullscale`` to run this same torch replica at
+full scale and test whether the reference's own math collapses identically.
+
+FULL-SCALE OUTCOME (round 3, results/luma_collapse_torch_fullscale.json):
+CONFIRMED with the reference's own math. At 21000 rows x 100 epochs the
+torch replica's feature norm decays 28.75 -> 0.44, the PoE shared mean's
+per-dim std hits exactly 0.0 by ~epoch 60, ridge on the embeddings =
+exact chance (2.38%) while ridge on raw view[0] = 97.4%, and the
+reference-math probe on the embeddings sits at chance. So the round-2
+diagnosis stands AT SCALE: the ``mse(decoder(z), trainable_encoder(x))``
+objective collapses the representation once the step budget is large
+enough (~33k steps); the 600-row fixture (~1k steps) merely degrades it,
+which is what the earlier seeds-0-2 fixture runs showed.
+
 Run:
   python tools/luma_collapse_torch.py --epochs 100 --probe-epochs 200
 Writes results/luma_collapse_torch.json.
@@ -118,7 +137,19 @@ def torch_luma_dmvae_fit(
     def kl(mu, lv):
         return -0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp(), dim=1)
 
-    losses, feat_norms = [], []
+    # fixed probe rows for the per-epoch embedding-std trajectory (the
+    # collapse signal: per-dim std of the PoE shared mean over samples)
+    probe_rows = torch.arange(0, n, max(1, n // 512))[:512]
+
+    @torch.no_grad()
+    def _zc_std():
+        all_mods.eval()
+        fb = [feature_encoders[i](xs[i][probe_rows]) for i in range(n_mod)]
+        st = [enc(f).chunk(4, dim=1) for enc, f in zip(encoders, fb)]
+        zc, _ = poe([s[0] for s in st], [s[1] for s in st])
+        return float(zc.std(dim=0).mean())
+
+    losses, feat_norms, zc_stds = [], [], []
     for ep in range(epochs):
         perm = torch.randperm(n)
         all_mods.train()
@@ -165,6 +196,11 @@ def torch_luma_dmvae_fit(
         sch.step()
         losses.append(float(np.mean(epoch_losses)))
         feat_norms.append(float(np.mean(epoch_norms)))
+        zc_stds.append(_zc_std())
+        if ep % 5 == 0 or ep == epochs - 1:
+            print(f"  [torch dmvae] epoch {ep:3d} loss {losses[-1]:.4f} "
+                  f"feat_norm {feat_norms[-1]:.4f} zc_std {zc_stds[-1]:.5f}",
+                  flush=True)
 
     import torch as _t
 
@@ -177,7 +213,7 @@ def torch_luma_dmvae_fit(
         zc, _ = poe([st[0] for st in stats], [st[1] for st in stats])
         return [zc.numpy()] + [st[2].numpy() for st in stats]
 
-    return losses, feat_norms, embed(views_tr), embed(views_te)
+    return losses, feat_norms, zc_stds, embed(views_tr), embed(views_te)
 
 
 def main():
@@ -186,6 +222,9 @@ def main():
     parser.add_argument("--probe-epochs", type=int, default=200)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--classes", type=int, default=6)
+    parser.add_argument("--data-path", default=None,
+                        help="featurized LUMA corpus dir (e.g. "
+                             "data/luma_fullscale) instead of the fixture")
     parser.add_argument("--out", default="results/luma_collapse_torch.json")
     args = parser.parse_args()
 
@@ -193,16 +232,47 @@ def main():
 
     configure()  # pins platform/precision (the ECE helper imports jax)
 
-    views_tr, y_tr, views_te, y_te, num_classes = fixture_arrays(args.classes)
-    print(f"fixture: {len(y_tr)} train / {len(y_te)} test, "
-          f"{num_classes} classes", flush=True)
+    if args.data_path:
+        from disentagled_multimodal_fusion_tpu.data.luma import get_luma_arrays
+
+        # run_luma's exact feature configs (run_luma.py:138-155 defaults) so
+        # the cached featurization of the sweep corpus is reused verbatim
+        xs_tr, y_tr, xs_te, y_te, num_classes, _, _ = get_luma_arrays(
+            args.data_path,
+            {"sample_rate": 16000, "max_length": 3.0, "n_mfcc": 40,
+             "use_mfcc": True, "use_2d": False},
+            {"max_length": 128, "model_name": "bert-base-uncased",
+             "use_pretrained": True},
+            {"size": (32, 32), "normalize": True})
+        views_tr, views_te = list(xs_tr), list(xs_te)
+        y_tr, y_te = np.asarray(y_tr), np.asarray(y_te)
+        print(f"corpus {args.data_path}: {len(y_tr)} train / {len(y_te)} "
+              f"test, {num_classes} classes", flush=True)
+    else:
+        views_tr, y_tr, views_te, y_te, num_classes = fixture_arrays(args.classes)
+        print(f"fixture: {len(y_tr)} train / {len(y_te)} test, "
+              f"{num_classes} classes", flush=True)
 
     t0 = time.time()
-    losses, feat_norms, emb_tr, emb_te = torch_luma_dmvae_fit(
+    losses, feat_norms, zc_stds, emb_tr, emb_te = torch_luma_dmvae_fit(
         views_tr, views_te, args.seed, epochs=args.epochs,
     )
     print(f"torch DMVAE ({args.epochs} epochs) in {time.time() - t0:.0f}s; "
-          f"feat norm init {feat_norms[0]:.3f} -> final {feat_norms[-1]:.5f}",
+          f"feat norm init {feat_norms[0]:.3f} -> final {feat_norms[-1]:.5f}; "
+          f"zc per-dim std init {zc_stds[0]:.5f} -> final {zc_stds[-1]:.5f}",
+          flush=True)
+
+    def ridge_acc(Xf, yf, Xe, ye, lam=1e-3):
+        """Linear control: is the representation separable at all?"""
+        Xf = np.concatenate([np.asarray(Xf), np.ones((len(Xf), 1))], 1)
+        Xe = np.concatenate([np.asarray(Xe), np.ones((len(Xe), 1))], 1)
+        Y = np.eye(num_classes)[np.asarray(yf)]
+        W = np.linalg.solve(Xf.T @ Xf + lam * np.eye(Xf.shape[1]), Xf.T @ Y)
+        return float((np.argmax(Xe @ W, 1) == np.asarray(ye)).mean())
+
+    ridge_zc = ridge_acc(emb_tr[0], y_tr, emb_te[0], y_te)
+    ridge_raw0 = ridge_acc(views_tr[0], y_tr, views_te[0], y_te, lam=1e-1)
+    print(f"ridge control: zc {ridge_zc:.4f} vs raw view[0] {ridge_raw0:.4f}",
           flush=True)
 
     # reference-math probe on the DMVAE embeddings (luma protocol)
@@ -226,14 +296,26 @@ def main():
         "chance": chance,
         "dmvae_epochs": args.epochs,
         "probe_epochs": args.probe_epochs,
+        "data_path": args.data_path,
         "feat_norm_init": feat_norms[0],
         "feat_norm_final": feat_norms[-1],
         "feat_norm_trajectory": feat_norms,
+        "zc_std_trajectory": zc_stds,
+        "ridge_on_zc": ridge_zc,
+        "ridge_on_raw_view0": ridge_raw0,
         "dmvae_loss_trajectory": losses,
         "probe_on_dmvae_embeddings": probe,
         "heads_on_raw_views": raw,
+        # collapse = the embeddings carry ~nothing (ridge AND probe at
+        # ~chance) while the raw data is provably separable (ridge on a
+        # raw view). The raw-view ridge is the separability control, not
+        # the evidential heads: at 42 classes the reference-math heads on
+        # raw views only reach ~22% in 200 epochs (slow EDL optimization),
+        # which says nothing about the data.
         "collapse_confirmed": bool(
-            probe["accuracy"] < chance + 0.15 and raw["accuracy"] > 0.9
+            probe["accuracy"] < chance + 0.15
+            and ridge_zc < chance + 0.15
+            and ridge_raw0 > 0.9
             and feat_norms[-1] < 0.1 * feat_norms[0]
         ),
     }
