@@ -1,26 +1,26 @@
-"""Full-scale LUMA probe cross-check: does the reference's own math
-collapse too at the extended budget?
+"""Probe-fit parity on identical checkpointed LUMA embeddings.
 
-Context: the archived full-scale extended run (42 classes x 21000 rows,
-DMVAE 100 ep + probes 200 ep; logs/luma_fullscale_rows.json) trains the
-three LateFusion baselines to 86-94% but every frozen-DMVAE evidential
-probe lands at exact chance (2.38%) — while a ridge probe on the SAME
-checkpointed embeddings reaches 99.98% (shared) / 99.5% (audio private),
-i.e. the backbone is fine and the collapse is a property of the
-*evidential probe fit* at this scale. A 40-epoch fit of OUR probe on the
-same embeddings peaks at ~96% before sliding, so the 200-epoch budget is
-implicated.
-
-This script settles whether that late-training collapse is
-framework-specific or inherent to the reference's protocol
-(evidential_probe.py:87-212 math: AdamW(1e-4)+cosine(T_max=epochs),
-AvgTrustedLoss with annealing_start=50, lr=3e-4): it loads the sweep's
-own seed-0 DMVAE checkpoint, embeds the corpus, and trains BOTH
+Loads a saved DMVAE checkpoint, embeds a featurized LUMA corpus once,
+and trains BOTH
   (a) the reference-math plain-torch probe (imported losses.py/utils.py),
   (b) our jitted probe task,
-for --epochs epochs (default 200, the extended budget) with a per-epoch
-validation-accuracy trace on each side, then reports end metrics + the
-epoch-of-peak and epoch-where-it-first-drops-below-chance*2.
+on the SAME embeddings for --epochs epochs with per-epoch validation
+traces on each side — isolating probe-training parity from backbone
+parity.
+
+HISTORY NOTE: this tool's first measurements ("ridge 99.98% on the
+extended run's embeddings, so the backbone is fine and the probe fit is
+implicated") were taken against a checkpoint the test suite had silently
+overwritten with a fixture-trained model — the confusion that exposed the
+artifact-isolation bug fixed via DMF_ARTIFACT_ROOT. The pristine
+extended-run checkpoints are genuinely degenerate (constant embeddings;
+both frameworks' probes at chance on them, trivially). The settled
+full-scale collapse story lives in tools/luma_collapse_{torch,jax}.py and
+RESULTS.md §LUMA; this tool remains useful as a probe-level parity
+instrument on any healthy checkpoint. CAVEAT: the checkpoint name
+template carries no corpus identity (the reference's own convention,
+run_luma.py:235-237), so make sure --checkpoint and --corpus come from
+the same run — run_luma overwrites these slots on every invocation.
 
 Reference anchors: /root/reference/models/evidential_probe.py:11-212
 (probe math), /root/reference/models/losses.py:209-248 (AvgTrustedLoss),
