@@ -124,7 +124,6 @@ def torch_heads_fit(
             opt.zero_grad()
             loss.backward()
             opt.step()
-        crit.annealing_step += 1
         heads.eval()
         with torch.no_grad():
             ev = all_evidences(xs_te)
@@ -133,6 +132,21 @@ def torch_heads_fit(
             sch.step()
         else:
             sch.step(vloss.item())
+        # Lightning runs the val loop INSIDE the train epoch (after the
+        # last batch) and fires on_train_epoch_end — where the reference
+        # increments annealing_step (baselines.py:104,
+        # evidential_probe.py:124) — AFTERWARD. So epoch e's val loss is
+        # computed with annealing_step == e, and the increment belongs
+        # here, after validation. Incrementing before val (this
+        # harness's original order) shifts the KL-annealing coefficient
+        # in the monitored val loss by one epoch, which flips plateau
+        # best-tracking on knife-edge cells: at epoch 0 the true
+        # reference coefficient is 0 (no KL), producing a low unbeatable
+        # `best` that cascades LR -> 0 by ~epoch 35 — behavior our
+        # framework reproduces and the old harness order masked (found
+        # by the n=15 synthetic dep50 campaign: a systematic 7-pt
+        # cml/avg_fusion gap, paired t = 4.35, that this fix closes).
+        crit.annealing_step += 1
 
     with torch.no_grad():
         fused_ev = agg_fn(all_evidences(xs_te))
