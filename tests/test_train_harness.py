@@ -200,3 +200,33 @@ def test_task_closures_memoized_and_program_cache_reused():
     assert size2 == size1          # second identical-config fit reuses it
     assert np.isfinite(float(r1.train_loss[-1]))
     assert np.isfinite(float(r2.train_loss[-1]))
+
+
+def test_val_pass_sees_current_epoch_annealing_index():
+    """The epoch-e validation pass must see t.epoch == e (0-based).
+
+    This pins the Lightning hook-order semantics the reference relies
+    on: the val loop runs INSIDE the train epoch, and the criterion's
+    annealing_step is incremented only afterward (on_train_epoch_end,
+    baselines.py:104 / evidential_probe.py:124) — so epoch e's monitored
+    val loss is computed with annealing_step == e, starting at 0. An
+    off-by-one here changes the KL-annealing coefficient of the
+    plateau-monitored val loss and, on knife-edge cells, the whole LR
+    trajectory (see tools/parity_check.py's round-3b harness fix)."""
+    params = {"w": jnp.zeros((2, 2))}
+
+    def loss_fn(params, batch, mask, t, key):
+        return jnp.sum(params["w"]) * 0.0 + jnp.sum(mask) * 0.0, {}
+
+    def val_fn(params, data, t):
+        # report the annealing index itself as the "loss"
+        return jnp.asarray(t.epoch, jnp.float32), jnp.float32(0.0)
+
+    data = {"x": jnp.zeros((8, 2))}
+    res = train(
+        rng=jax.random.PRNGKey(0), params=params, loss_fn=loss_fn,
+        data=data, n_train=8,
+        optimizer=OptimizerConfig(name="adam", lr=1e-3, schedule="constant"),
+        epochs=5, batch_size=4, val_fn=val_fn, val_data=data,
+    )
+    assert np.asarray(res.val_loss).tolist() == [0.0, 1.0, 2.0, 3.0, 4.0]
