@@ -1,109 +1,116 @@
-"""Smoke tests for the cross-framework parity tools (tools/parity_*.py).
+"""Tests for the parity-campaign orchestration tools.
 
-The full campaigns run out-of-band (results/parity_check_*.json); these
-tests pin that the torch replicas and the JAX fits stay importable and
-numerically sane at tiny shapes, so refactors of the product code can't
-silently strand the parity harness.
+Covers the crash-resume loader in tools/parity_check.py (incremental
+per-seed writes -> --resume skips completed seeds, truncates a
+partially-written one) and tools/promote_refresh.py (mechanical
+promotion of refreshed cells into a canonical file: complete cells are
+copied and the summary recomputed; partial cells are refused). Pure
+file-level logic — no model fits, no jax.
 """
 
-import numpy as np
-import pytest
-
+import json
+import subprocess
 import sys
 from pathlib import Path
+
+import pytest
 
 TOOLS = Path(__file__).resolve().parent.parent / "tools"
 sys.path.insert(0, str(TOOLS))
 
+from parity_check import load_resume, summarize  # noqa: E402
 
-def _tiny_views(seed=0, n=60, dims=(12, 10, 8)):
-    rng = np.random.default_rng(seed)
-    return [rng.standard_normal((n, d)).astype(np.float32) for d in dims]
-
-
-def test_dmvae_backbone_replicas_tiny():
-    """torch_dmvae_fit (reference-math replica, dmvae.py:128-188) and
-    jax_dmvae_fit (our backbone under the parity protocol) both train at
-    tiny shapes: finite decreasing losses, matching embedding layouts."""
-    import jax.numpy as jnp
-
-    from parity_dmvae import jax_dmvae_fit, torch_dmvae_fit
-
-    dims = (12, 10, 8)
-    views_tr = _tiny_views(0, 60, dims)
-    views_te = _tiny_views(1, 20, dims)
-
-    t_losses, t_emb_tr, t_emb_te = torch_dmvae_fit(
-        views_tr, views_te, list(dims), seed=0, embed_dim=6, hidden_dim=16,
-        lr=1e-3, epochs=6, batch=20,
-    )
-    xs_tr = tuple(jnp.asarray(v) for v in views_tr)
-    xs_te = tuple(jnp.asarray(v) for v in views_te)
-    j_losses, j_emb_tr, j_emb_te = jax_dmvae_fit(
-        xs_tr, xs_te, list(dims), seed=0, embed_dim=6, hidden_dim=16,
-        lr=1e-3, epochs=6, batch=20,
-    )
-
-    for losses in (t_losses, j_losses):
-        assert len(losses) == 6
-        assert np.all(np.isfinite(losses))
-        assert losses[-1] < losses[0]
-    # layout: [shared] + one private per modality, matching shapes
-    for emb_t, emb_j, n in ((t_emb_tr, j_emb_tr, 60), (t_emb_te, j_emb_te, 20)):
-        assert len(emb_t) == len(emb_j) == 1 + len(dims)
-        for a, b in zip(emb_t, emb_j):
-            assert a.shape == b.shape == (n, 6)
-            assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+METRIC_ROW = {
+    "accuracy": 0.9, "ece": 0.1, "epistemic_mean": 0.3, "aleatoric_mean": 1.2,
+}
 
 
-def test_dssl_backbone_replicas_tiny():
-    """torch_dssl_fit (reference SupCon/ortho/vMF modules) and
-    jax_dssl_fit agree on embedding layout at tiny shapes."""
-    if not Path("/root/reference/models/classifiers.py").exists():
-        pytest.skip("reference checkout not mounted")
-    import jax.numpy as jnp
+def _rows(n, acc=0.9):
+    return [dict(METRIC_ROW, accuracy=acc + 0.001 * i) for i in range(n)]
 
-    from parity_dssl import jax_dssl_fit, torch_dssl_fit
 
-    dims = (12, 10)
-    views_tr = _tiny_views(0, 64, dims)
-    views_te = _tiny_views(1, 32, dims)
+def _cell(n_torch, n_ours=None, acc=0.9):
+    return {"torch": _rows(n_torch, acc),
+            "ours": _rows(n_ours if n_ours is not None else n_torch, acc)}
 
-    t_losses, t_emb_tr, t_emb_te = torch_dssl_fit(
-        views_tr, views_te, list(dims), seed=0, embed_dim=4, hidden_dim=16,
-        epochs=3, batch=32,
-    )
-    xs_tr = tuple(jnp.asarray(v) for v in views_tr)
-    xs_te = tuple(jnp.asarray(v) for v in views_te)
-    j_losses, j_emb_tr, j_emb_te = jax_dssl_fit(
-        xs_tr, xs_te, list(dims), seed=0, embed_dim=4, hidden_dim=16,
-        epochs=3, batch=32,
+
+def test_load_resume_missing_file(tmp_path):
+    out, start = load_resume(tmp_path / "nope.json")
+    assert out == {} and start == 0
+
+
+def test_load_resume_truncates_partial_seed(tmp_path):
+    # model a finished 3 seeds, model b only 2 (interrupted mid-seed 2):
+    # only the first 2 seeds count as complete, and a's third is dropped
+    dest = tmp_path / "campaign.json"
+    per_seed = {"a": _cell(3), "b": _cell(2)}
+    dest.write_text(json.dumps(
+        {"per_seed": per_seed, "summary": summarize(per_seed)}))
+    out, start = load_resume(dest)
+    assert start == 2
+    assert {len(c["torch"]) for c in out.values()} == {2}
+    assert {len(c["ours"]) for c in out.values()} == {2}
+
+
+def test_load_resume_half_written_sides(tmp_path):
+    # torch side written, ours side interrupted before recording
+    dest = tmp_path / "campaign.json"
+    per_seed = {"a": _cell(3, n_ours=2)}
+    dest.write_text(json.dumps({"per_seed": per_seed, "summary": {}}))
+    out, start = load_resume(dest)
+    assert start == 2
+    assert len(out["a"]["torch"]) == len(out["a"]["ours"]) == 2
+
+
+def _run_promote(*argv):
+    return subprocess.run(
+        [sys.executable, str(TOOLS / "promote_refresh.py"), *argv],
+        capture_output=True, text=True,
     )
 
-    assert np.all(np.isfinite(t_losses)) and np.all(np.isfinite(j_losses))
-    assert len(t_emb_tr) == len(j_emb_tr) == 1 + len(dims)
-    for a, b in zip(t_emb_tr, j_emb_tr):
-        assert a.shape == b.shape
-    for a, b in zip(t_emb_te, j_emb_te):
-        assert a.shape == b.shape
+
+def test_promote_replaces_cell_and_recomputes_summary(tmp_path):
+    canon = tmp_path / "canonical.json"
+    staging = tmp_path / "refresh.json"
+    canon_cells = {"dis": _cell(5, acc=0.5), "cml": _cell(5, acc=0.7)}
+    canon.write_text(json.dumps(
+        {"per_seed": canon_cells, "summary": summarize(canon_cells)}))
+    fresh = {"dis": _cell(5, acc=0.8)}
+    staging.write_text(json.dumps(
+        {"per_seed": fresh, "summary": summarize(fresh)}))
+
+    res = _run_promote(str(staging), str(canon))
+    assert res.returncode == 0, res.stderr
+    after = json.loads(canon.read_text())
+    # dis replaced by the refreshed values, cml untouched
+    assert after["per_seed"]["dis"] == fresh["dis"]
+    assert after["per_seed"]["cml"] == canon_cells["cml"]
+    # summary recomputed over the merged per_seed
+    assert after["summary"] == summarize(after["per_seed"])
+    assert "promoted dis" in res.stdout
 
 
-def test_tpu_spotcheck_tool_importable():
-    """parity_dmvae_tpu main() depends only on archived JSON layout +
-    jax_dmvae_fit; keep it importable."""
-    import parity_dmvae_tpu  # noqa: F401
+def test_promote_refuses_partial_campaign(tmp_path):
+    canon = tmp_path / "canonical.json"
+    staging = tmp_path / "refresh.json"
+    canon_cells = {"dis": _cell(5)}
+    canon.write_text(json.dumps(
+        {"per_seed": canon_cells, "summary": summarize(canon_cells)}))
+    staging.write_text(json.dumps({"per_seed": {"dis": _cell(3)}}))
 
-    assert callable(parity_dmvae_tpu.main)
+    before = canon.read_text()
+    res = _run_promote(str(staging), str(canon))
+    assert res.returncode != 0
+    assert "incomplete" in res.stderr
+    assert canon.read_text() == before  # untouched on refusal
 
 
-def test_luma_collapse_fixture_arrays():
-    from luma_collapse_torch import fixture_arrays
-
-    xs_tr, y_tr, xs_te, y_te, num_classes = fixture_arrays(
-        n_classes=3, train_per_class=4, test_per_class=2
-    )
-    assert num_classes == 3
-    assert len(xs_tr) == len(xs_te) == 3  # image / audio / text views
-    assert all(v.shape[0] == y_tr.shape[0] == 12 for v in xs_tr)
-    assert all(v.shape[0] == y_te.shape[0] == 6 for v in xs_te)
-    assert set(np.unique(y_tr)) == {0, 1, 2}
+def test_promote_unknown_model_refused(tmp_path):
+    canon = tmp_path / "canonical.json"
+    staging = tmp_path / "refresh.json"
+    cells = {"dis": _cell(2)}
+    canon.write_text(json.dumps(
+        {"per_seed": cells, "summary": summarize(cells)}))
+    staging.write_text(json.dumps({"per_seed": cells}))
+    res = _run_promote(str(staging), str(canon), "--models", "nope")
+    assert res.returncode != 0 and "not in" in res.stderr

@@ -416,6 +416,27 @@ def summarize(out):
     return summary
 
 
+def load_resume(dest):
+    """Load completed seeds from an interrupted campaign's output file.
+
+    A seed is complete only when EVERY model in the file has both sides
+    recorded for it; any partially-written tail (some models done, some
+    not, from an interruption mid-seed) is truncated so that seed re-runs
+    whole. Returns (out, start): the preloaded accumulator and the number
+    of leading seeds to skip.
+    """
+    if not Path(dest).exists():
+        return {}, 0
+    prev = json.loads(Path(dest).read_text())["per_seed"]
+    lens = [len(d[side]) for d in prev.values() for side in ("torch", "ours")]
+    start = min(lens, default=0)
+    out = {
+        name: {side: list(d[side][:start]) for side in ("torch", "ours")}
+        for name, d in prev.items()
+    }
+    return out, start
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--epochs", type=int, default=200)
@@ -433,6 +454,16 @@ def main():
              "results JSON (same dataset/seeds => identical splits and "
              "reference fits) and re-run only our side — for re-validating "
              "after framework-side changes without re-paying the CPU fits",
+    )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume an interrupted campaign: load the completed seeds "
+             "already in --out (the per-seed incremental writes) and run "
+             "only the remaining ones. Must be invoked with the SAME "
+             "dataset/seeds/models/epochs as the original run — the file "
+             "records per-model metric lists in seed order, so a changed "
+             "command line would silently misalign them. A seed with a "
+             "partially-written model set re-runs in full.",
     )
     args = parser.parse_args()
     if not args.seeds:
@@ -457,8 +488,14 @@ def main():
         torch_cache = json.loads(Path(dest).read_text())["per_seed"]
         print(f"reusing torch-side metrics from {dest}")
 
-    out = {}
+    out, start = ({}, 0) if not args.resume else load_resume(dest)
+    if args.resume:
+        print(f"--resume: skipping {start} completed seed(s) from {dest}",
+              flush=True)
+    summary = {}
     for i, seed in enumerate(args.seeds):
+        if i < start:
+            continue
         run_seed(
             seed, dataset=args.dataset, epochs=args.epochs, dep=args.dep,
             models=args.models, out=out, torch_cache=torch_cache, seed_index=i,
@@ -467,6 +504,10 @@ def main():
         summary = summarize(out)
         Path("results").mkdir(exist_ok=True)
         Path(dest).write_text(json.dumps({"per_seed": out, "summary": summary}, indent=1))
+    # covers the --resume everything-already-complete case too
+    summary = summarize(out)
+    Path("results").mkdir(exist_ok=True)
+    Path(dest).write_text(json.dumps({"per_seed": out, "summary": summary}, indent=1))
     print(json.dumps(summary, indent=1))
 
 
