@@ -313,6 +313,7 @@ def main():
     ours_ms, flops_epoch = bench_jax(xs_np, dims)
     bf16_ms, _ = bench_jax(xs_np, dims, dtype="bfloat16")
     vmap_ms, vmap_flops = bench_jax_vmapped(xs_np, dims)
+    load1 = os.getloadavg()[0]
     torch_ms = bench_torch(xs_np, dims)
     import jax
 
@@ -343,6 +344,19 @@ def main():
             "bit-parity, not an implementation gap"
         ),
     }
+    # the torch baseline runs live on the host CPU, so background load
+    # (e.g. a parity campaign) inflates it and with it vs_baseline. Flag
+    # rather than fudge: bench's own single process accounts for ~1.0 of
+    # 1-minute load on this single-core host; anything well above that
+    # means the baseline was contended.
+    out["host_load_1m"] = round(load1, 2)
+    if load1 > 1.75:
+        out["baseline_contended"] = (
+            f"host 1-min load {load1:.2f} during the torch baseline — "
+            f"another process was competing for the CPU, so vs_baseline "
+            f"is inflated; the clean-host torch baseline is ~4300 ms/epoch "
+            f"(BENCH_r02.json, vs_baseline ~474x)"
+        )
     if cpu_fallback:
         out["degraded"] = (
             f"TPU backend unavailable after retries; measured on host CPU at "
