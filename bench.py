@@ -6,6 +6,8 @@ Prints ONE JSON line:
    "unit": "ms", "vs_baseline": <torch_ms / ours>,
    "flops_per_epoch": N, "flops_per_sec": N, "bf16_epoch_ms": N,
    "vmapped": {"seeds": 5, "epoch_ms_per_seed": N, "flops_per_sec": N},
+   "probe_epoch_ms": N,
+   "probe_vmapped": {"seeds": 25, "epoch_ms_per_seed": N, "speedup_vs_single": N},
    "note": "..."}
 
 Protocol (BASELINE.md): the reference publishes no numbers, so the baseline
@@ -178,6 +180,76 @@ def bench_jax_vmapped(xs_np, dims):
     return t_run / EPOCHS_JAX * 1000.0, flops / EPOCHS_JAX
 
 
+def bench_jax_probe(n_rows=1600, n_mod=6, embed=EMBED, num_classes=10,
+                    vmap_seeds=25):
+    """Probe-fit bench: the dispatch-bound regime (docs/PERF.md §4).
+
+    The DMVAE headline number is HBM-bound, so it says nothing about the
+    probe fits that dominate sweep wall-clock count-wise (6 per cell).
+    Those are dispatch/latency-bound, and vmapping across seeds is where
+    the measured ~2x per-seed win lives — this tracks both points:
+    a single probe fit and a vmapped x25 fit on synthetic embeddings with
+    the HandWritten probe shapes (1+6 heads, hidden 128, input 200).
+    Returns (single_ms_per_epoch, vmapped_ms_per_epoch_per_seed).
+    """
+    from disentagled_multimodal_fusion_tpu.core.setup import configure
+
+    configure()
+    import jax
+    import jax.numpy as jnp
+
+    from disentagled_multimodal_fusion_tpu.core.tasks import build_probe_task
+    from disentagled_multimodal_fusion_tpu.core.train import make_train_program
+
+    key = jax.random.PRNGKey(0)
+    zc = jax.random.normal(key, (n_rows, embed))
+    zp = jax.random.normal(jax.random.PRNGKey(1), (n_rows, n_mod, embed))
+    y = jax.random.randint(jax.random.PRNGKey(2), (n_rows,), 0, num_classes)
+    data = {"zc": zc, "zp": zp, "y": y}
+
+    def task_for(seed):
+        return build_probe_task(
+            rng=jax.random.PRNGKey(seed), num_modalities=n_mod,
+            num_classes=num_classes, input_dim=embed, hidden_dim=(128,),
+            lr=3e-3, dropout=0.1, annealing_start=50, aggregation="cml",
+            num_epochs=EPOCHS_JAX,
+        )
+
+    t0 = task_for(0)
+    program = make_train_program(
+        loss_fn=t0.loss_fn, n_train=n_rows, optimizer=t0.optimizer,
+        epochs=EPOCHS_JAX, batch_size=BATCH, drop_last=False, shuffle=True,
+        val_fn=None, has_state=False,
+    )
+
+    def timed(run, *args):
+        run, _, _ = _compile_with_flops(run, *args)
+        res = run(*args)
+        jax.block_until_ready(res.params)
+        t = time.perf_counter()
+        res = run(*args)
+        jax.block_until_ready(res.params)
+        return time.perf_counter() - t
+
+    single = jax.jit(lambda p, r: program(p, r, data, None, None))
+    t_single = timed(single, t0.params, key)
+
+    params_stack = jax.tree.map(
+        lambda *x: jnp.stack(x), *[task_for(s).params for s in range(vmap_seeds)]
+    )
+    rngs = jnp.stack([jax.random.PRNGKey(100 + s) for s in range(vmap_seeds)])
+    vm = jax.jit(jax.vmap(lambda p, r: program(p, r, data, None, None)))
+    t_vm = timed(vm, params_stack, rngs)
+
+    single_ms = t_single / EPOCHS_JAX * 1000.0
+    vm_ms_seed = t_vm / EPOCHS_JAX * 1000.0 / vmap_seeds
+    _log(
+        f"probe fit: {single_ms:.3f} ms/epoch single; vmapped x{vmap_seeds}: "
+        f"{vm_ms_seed:.3f} ms/epoch/seed ({single_ms / vm_ms_seed:.2f}x)"
+    )
+    return single_ms, vm_ms_seed
+
+
 def bench_torch(xs_np, dims) -> float:
     """Plain-torch replica of the reference DMVAE train epoch (CPU)."""
     import torch
@@ -313,8 +385,14 @@ def main():
     ours_ms, flops_epoch = bench_jax(xs_np, dims)
     bf16_ms, _ = bench_jax(xs_np, dims, dtype="bfloat16")
     vmap_ms, vmap_flops = bench_jax_vmapped(xs_np, dims)
-    load1 = os.getloadavg()[0]
+    probe_ms, probe_vm_ms = bench_jax_probe()
+    # sample host load BEFORE and AFTER the torch baseline: the 1-min
+    # loadavg is backward-looking, so the pre-sample reflects the jax
+    # benches and only the post-sample can see load that started during
+    # the multi-minute torch run. Flag on the max of the two.
+    load_pre = os.getloadavg()[0]
     torch_ms = bench_torch(xs_np, dims)
+    load1 = max(load_pre, os.getloadavg()[0])
     import jax
 
     out = {
@@ -330,6 +408,14 @@ def main():
             "seeds": VMAP_SEEDS,
             "epoch_ms_per_seed": round(vmap_ms / VMAP_SEEDS, 3),
             "flops_per_sec": round(vmap_flops / (vmap_ms / 1000.0), 3) if vmap_ms else None,
+        },
+        # the dispatch-bound regime (docs/PERF.md §4): probe fits are where
+        # vmapping pays per-seed, unlike the HBM-bound DMVAE above
+        "probe_epoch_ms": round(probe_ms, 3),
+        "probe_vmapped": {
+            "seeds": 25,
+            "epoch_ms_per_seed": round(probe_vm_ms, 3),
+            "speedup_vs_single": round(probe_ms / probe_vm_ms, 2) if probe_vm_ms else None,
         },
         "note": (
             "headline value uses the parity-first default "

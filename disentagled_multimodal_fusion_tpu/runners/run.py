@@ -233,7 +233,12 @@ def run_condition_vmapped(
 ):
     """Seed-vectorised variant of run_condition: all seeds of one
     (dataset, condition) cell train as ONE vmapped program per model type
-    (core.train.train_many). Identical math per seed; ~S x throughput."""
+    (core.train.train_many). Identical math per seed. Throughput is
+    regime-dependent (docs/PERF.md §3-4, measured): dispatch-bound probe
+    fits amortise per-op latency (~2x per seed at S=25); the HBM-bound
+    DMVAE fit moves S x the parameter traffic so its time scales ~linearly
+    — there the value is orchestration (one program, one compile, one set
+    of mesh collectives), not per-seed speedup."""
     import jax.numpy as jnp  # noqa: F811 (keep local for clarity)
 
     from ..core.checkpoint import save_checkpoint
@@ -451,7 +456,11 @@ def main(argv=None):
     parser.add_argument(
         "--vmap-seeds", action="store_true",
         help="train all seeds of each (dataset, condition) cell as one "
-             "vmapped program (same math, ~Nx throughput)",
+             "vmapped program (identical math per seed). Wall-clock effect "
+             "depends on the regime (docs/PERF.md §3-4): dispatch-bound "
+             "probe fits get ~2x per-seed; the HBM-bound DMVAE fit scales "
+             "~linearly in traffic, so the win there is sweep "
+             "orchestration (one program, one compile), not per-seed speed",
     )
     parser.add_argument(
         "--dtype", choices=["float32", "bfloat16"], default="float32",

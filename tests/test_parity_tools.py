@@ -18,7 +18,7 @@ import pytest
 TOOLS = Path(__file__).resolve().parent.parent / "tools"
 sys.path.insert(0, str(TOOLS))
 
-from parity_check import load_resume, summarize  # noqa: E402
+from parity_check import check_resume_args, load_resume, summarize  # noqa: E402
 
 METRIC_ROW = {
     "accuracy": 0.9, "ece": 0.1, "epistemic_mean": 0.3, "aleatoric_mean": 1.2,
@@ -62,6 +62,31 @@ def test_load_resume_half_written_sides(tmp_path):
     assert len(out["a"]["torch"]) == len(out["a"]["ours"]) == 2
 
 
+def test_check_resume_args_matching_ok(tmp_path):
+    dest = tmp_path / "c.json"
+    ra = {"dataset": "PIE", "seeds": [0, 1], "models": None, "epochs": 200}
+    dest.write_text(json.dumps({"args": ra, "per_seed": {}}))
+    check_resume_args(dest, dict(ra))  # no raise
+
+
+def test_check_resume_args_mismatch_errors(tmp_path):
+    dest = tmp_path / "c.json"
+    dest.write_text(json.dumps({
+        "args": {"dataset": "PIE", "seeds": [0, 1], "models": None,
+                 "epochs": 200},
+        "per_seed": {}}))
+    with pytest.raises(SystemExit, match="misalign"):
+        check_resume_args(dest, {"dataset": "PIE", "seeds": [0, 1, 2],
+                                 "models": None, "epochs": 200})
+
+
+def test_check_resume_args_legacy_file_warns_only(tmp_path, capsys):
+    dest = tmp_path / "c.json"
+    dest.write_text(json.dumps({"per_seed": {}}))  # pre-args-block file
+    check_resume_args(dest, {"dataset": "PIE", "seeds": [0]})
+    assert "predates" in capsys.readouterr().out
+
+
 def _run_promote(*argv):
     return subprocess.run(
         [sys.executable, str(TOOLS / "promote_refresh.py"), *argv],
@@ -101,8 +126,52 @@ def test_promote_refuses_partial_campaign(tmp_path):
     before = canon.read_text()
     res = _run_promote(str(staging), str(canon))
     assert res.returncode != 0
-    assert "incomplete" in res.stderr
+    assert "partial" in res.stderr
     assert canon.read_text() == before  # untouched on refusal
+
+
+def test_promote_refuses_overcomplete_campaign(tmp_path):
+    # a staging cell with MORE seeds than the canonical file means the
+    # campaign ran a different seed list — must error, never truncate
+    canon = tmp_path / "canonical.json"
+    staging = tmp_path / "refresh.json"
+    canon_cells = {"dis": _cell(5)}
+    canon.write_text(json.dumps(
+        {"per_seed": canon_cells, "summary": summarize(canon_cells)}))
+    staging.write_text(json.dumps({"per_seed": {"dis": _cell(7)}}))
+
+    before = canon.read_text()
+    res = _run_promote(str(staging), str(canon))
+    assert res.returncode != 0
+    assert "mismatched" in res.stderr
+    assert canon.read_text() == before
+
+
+def test_promote_expect_seeds_zero_is_not_unset(tmp_path):
+    # --expect-seeds 0 must be honoured as 0, not fall back to inference
+    canon = tmp_path / "canonical.json"
+    staging = tmp_path / "refresh.json"
+    cells = {"dis": _cell(2)}
+    canon.write_text(json.dumps(
+        {"per_seed": cells, "summary": summarize(cells)}))
+    staging.write_text(json.dumps({"per_seed": cells}))
+    res = _run_promote(str(staging), str(canon), "--expect-seeds", "0")
+    assert res.returncode != 0  # 2 seeds != expected 0
+
+
+def test_promote_refuses_protocol_mismatch(tmp_path):
+    # both files carry a recorded-args block with differing seed lists
+    canon = tmp_path / "canonical.json"
+    staging = tmp_path / "refresh.json"
+    cells = {"dis": _cell(2)}
+    canon.write_text(json.dumps({
+        "args": {"dataset": "PIE", "seeds": [0, 1], "epochs": 200},
+        "per_seed": cells, "summary": summarize(cells)}))
+    staging.write_text(json.dumps({
+        "args": {"dataset": "PIE", "seeds": [3, 4], "epochs": 200},
+        "per_seed": cells}))
+    res = _run_promote(str(staging), str(canon))
+    assert res.returncode != 0 and "protocol mismatch" in res.stderr
 
 
 def test_promote_unknown_model_refused(tmp_path):

@@ -416,6 +416,39 @@ def summarize(out):
     return summary
 
 
+def check_resume_args(dest, run_args):
+    """Refuse to resume under a changed command line.
+
+    The output file records per-model metric lists in SEED ORDER, so a
+    resume with different --seeds/--models/--epochs would silently
+    misalign them and corrupt the paired-delta stats. Campaigns written
+    since the 'args' block landed carry their own metadata; validate
+    against it and error on mismatch. Older files get a loud warning
+    (the operator contract from the original --resume help text).
+    """
+    recorded = json.loads(Path(dest).read_text()).get("args")
+    if recorded is None:
+        print(
+            f"WARNING --resume: {dest} predates the recorded-args block; "
+            "cannot validate that dataset/seeds/models/epochs match the "
+            "original run — they MUST (see --resume help)", flush=True,
+        )
+        return
+    mismatched = {
+        k: (recorded.get(k), run_args.get(k))
+        for k in sorted(set(recorded) | set(run_args))
+        if recorded.get(k) != run_args.get(k)
+    }
+    if mismatched:
+        raise SystemExit(
+            f"--resume: command line does not match the campaign recorded "
+            f"in {dest}: "
+            + "; ".join(f"{k}: recorded {a!r} vs given {b!r}"
+                        for k, (a, b) in mismatched.items())
+            + " — a mismatched resume would misalign the per-seed lists"
+        )
+
+
 def load_resume(dest):
     """Load completed seeds from an interrupted campaign's output file.
 
@@ -488,10 +521,30 @@ def main():
         torch_cache = json.loads(Path(dest).read_text())["per_seed"]
         print(f"reusing torch-side metrics from {dest}")
 
+    # recorded alongside the results so --resume / promote_refresh can
+    # validate the command line instead of trusting the operator to
+    # re-type it (the per-seed lists are positional in seed order)
+    run_args = {
+        "dataset": args.dataset, "seeds": list(args.seeds),
+        "models": args.models, "epochs": args.epochs,
+    }
+    if args.dataset == "synthetic":
+        run_args["dep"] = args.dep
+
+    if args.resume and Path(dest).exists():
+        check_resume_args(dest, run_args)
     out, start = ({}, 0) if not args.resume else load_resume(dest)
     if args.resume:
         print(f"--resume: skipping {start} completed seed(s) from {dest}",
               flush=True)
+
+    def write(out):
+        summary = summarize(out)
+        Path("results").mkdir(exist_ok=True)
+        Path(dest).write_text(json.dumps(
+            {"args": run_args, "per_seed": out, "summary": summary}, indent=1))
+        return summary
+
     summary = {}
     for i, seed in enumerate(args.seeds):
         if i < start:
@@ -501,13 +554,9 @@ def main():
             models=args.models, out=out, torch_cache=torch_cache, seed_index=i,
         )
         # incremental write: long runs survive interruption
-        summary = summarize(out)
-        Path("results").mkdir(exist_ok=True)
-        Path(dest).write_text(json.dumps({"per_seed": out, "summary": summary}, indent=1))
+        summary = write(out)
     # covers the --resume everything-already-complete case too
-    summary = summarize(out)
-    Path("results").mkdir(exist_ok=True)
-    Path(dest).write_text(json.dumps({"per_seed": out, "summary": summary}, indent=1))
+    summary = write(out)
     print(json.dumps(summary, indent=1))
 
 

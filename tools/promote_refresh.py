@@ -8,7 +8,15 @@ files (results/parity_check_*_refresh.json, incremental per-seed
 writes). This tool copies completed cells from the staging file into
 the canonical file and recomputes its summary, so promotion is
 mechanical and a partial campaign can never be half-promoted: a cell is
-only copied when its per-seed count matches the canonical file's.
+only copied when its per-seed count matches the canonical file's
+exactly (over-complete cells error too — a count mismatch in either
+direction means the campaign didn't match the canonical protocol).
+
+Staging files are normally gitignored; near a session boundary a
+partial snapshot MAY be force-added so an interrupted campaign's seeds
+survive (then resumed with parity_check.py --resume). After promotion,
+remove the snapshot from tracking (git rm --cached) — the promoted
+canonical file is the durable artifact.
 
 Usage:
   python tools/promote_refresh.py \
@@ -44,12 +52,28 @@ def main():
     )
     args = parser.parse_args()
 
-    staging = json.loads(Path(args.staging).read_text())["per_seed"]
+    staging_doc = json.loads(Path(args.staging).read_text())
+    staging = staging_doc["per_seed"]
     canon_path = Path(args.canonical)
     canon = json.loads(canon_path.read_text())
     per_seed = canon["per_seed"]
 
-    want = args.expect_seeds or max(seed_count(c) for c in per_seed.values())
+    # campaigns since the recorded-args block carry their command line;
+    # when both files have one, the protocol identity (dataset/epochs/
+    # seed list) must match — a differing campaign must not be promoted
+    s_args, c_args = staging_doc.get("args"), canon.get("args")
+    if s_args and c_args:
+        for k in ("dataset", "epochs", "dep", "seeds"):
+            if s_args.get(k) != c_args.get(k):
+                raise SystemExit(
+                    f"protocol mismatch: staging {k}={s_args.get(k)!r} vs "
+                    f"canonical {k}={c_args.get(k)!r} — refusing to promote"
+                )
+
+    if args.expect_seeds is not None:
+        want = args.expect_seeds
+    else:
+        want = max(seed_count(c) for c in per_seed.values())
     names = args.models or sorted(staging)
     promoted = []
     for name in names:
@@ -57,14 +81,16 @@ def main():
             raise SystemExit(f"{name}: not in {args.staging}")
         cell = staging[name]
         n = seed_count(cell)
-        if n < want or len(cell["torch"]) != len(cell["ours"]):
+        if n != want or len(cell["torch"]) != len(cell["ours"]):
             raise SystemExit(
-                f"{name}: campaign incomplete ({n}/{want} seeds) — "
-                f"refusing to promote a partial cell"
+                f"{name}: campaign seed count {n} != expected {want} — "
+                f"refusing to promote a {'partial' if n < want else 'mismatched'} "
+                f"cell (an over-complete cell means the staging campaign "
+                f"ran a different seed list than the canonical file)"
             )
         old = canon["summary"].get(name, {})
-        per_seed[name] = {"torch": cell["torch"][:want],
-                          "ours": cell["ours"][:want]}
+        per_seed[name] = {"torch": list(cell["torch"]),
+                          "ours": list(cell["ours"])}
         promoted.append((name, old))
 
     canon["summary"] = summarize(per_seed)
