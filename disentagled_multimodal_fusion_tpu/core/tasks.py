@@ -495,6 +495,7 @@ def build_intermediate_fusion_task(
     lr: float = 1e-4,
     annealing_start: int = 20,
     feature_encoders: Optional[Tuple] = None,
+    input_dims: Optional[Sequence] = None,
     dtype=None,
     fusion: str = "concat",
     fusion_output_dim: int = 64,
@@ -505,7 +506,12 @@ def build_intermediate_fusion_task(
     ``fusion`` picks the fusion op from the library registry
     (models/fusions.py ``INTERMEDIATE_FUSIONS``; the reference's executed
     choice is ``"concat"``, baselines.py:161); ``fusion_output_dim`` /
-    ``fusion_rank`` parameterize the projecting fusions.
+    ``fusion_rank`` parameterize the projecting fusions. ``input_dims``
+    are the raw view widths/shapes used to initialise the feature
+    encoders when they differ from ``output_dims`` (the LUMA encoder
+    case); encoders with BatchNorm (ImageEncoder) get their batch_stats
+    threaded through the stateful loss/val/evidence closures, same as
+    build_late_fusion_task.
     """
     from ..models.fusions import build_fusion
 
@@ -522,49 +528,68 @@ def build_intermediate_fusion_task(
         fusion=fusion_mod,
         fused_dim=fused_dim,
     )
-    xs0 = [jnp.zeros((2, d)) for d in output_dims]
+    xs0 = [
+        jnp.zeros((2, *d) if isinstance(d, (tuple, list)) else (2, d))
+        for d in (input_dims or output_dims)
+    ]
     variables = model.init({"params": rng, "dropout": rng}, xs0, train=True)
-    if "batch_stats" in variables:
-        raise NotImplementedError(
-            "IntermediateFusion with BatchNorm feature encoders: use "
-            "build_late_fusion_task-style state threading (no reference "
-            "driver exercises this combination)."
-        )
     params = variables["params"]
-    loss_fn, val_fn, ev_fn, agg = _intermediate_closures(model, annealing_start)
+    bstats = variables.get("batch_stats")
+    stateless, stateful = _intermediate_closures(model, annealing_start)
+    loss_fn, val_fn, ev_fn, agg = stateless if bstats is None else stateful
 
     opt = OptimizerConfig(
         name="adam", lr=lr, schedule="plateau", plateau_factor=0.1, plateau_patience=5
     )
     return EvidentialTask(
         model, params, loss_fn, val_fn, ev_fn, agg,
-        num_classes, opt, has_shared=False,
+        num_classes, opt, has_shared=False, model_state=bstats,
     )
 
 
 @_memoized
 def _intermediate_closures(model, annealing_start):
-    def evidence(params, data, train=False, key=None):
+    def evidence(params, data, state=None, train=False, key=None):
         rngs = {"dropout": key} if train else None
-        return model.apply({"params": params}, data["xs"], train=train, rngs=rngs)
+        ev, new_state = _apply_stateful(
+            model, params, state, (data["xs"],), {}, train, rngs
+        )
+        return ev, new_state
 
-    def loss_fn(params, batch, mask, t, key):
-        ev = evidence(params, batch, train=True, key=key)
-        loss = single_evidential_loss(
-            ev, batch["y"], annealing_step=t.epoch,
+    def _loss(ev, y, t, mask):
+        return single_evidential_loss(
+            ev, y, annealing_step=t.epoch,
             annealing_start=annealing_start, mask=mask,
         )
-        return loss, {}
+
+    def loss_fn(params, batch, mask, t, key):
+        ev, _ = evidence(params, batch, train=True, key=key)
+        return _loss(ev, batch["y"], t, mask), {}
 
     def val_fn(params, data, t):
-        ev = evidence(params, data, train=False)
-        loss = single_evidential_loss(
-            ev, data["y"], annealing_step=t.epoch, annealing_start=annealing_start
-        )
-        return loss, _acc(ev, data["y"])
+        ev, _ = evidence(params, data, train=False)
+        return _loss(ev, data["y"], t, None), _acc(ev, data["y"])
 
-    ev_fn = jax.jit(lambda p, d: evidence(p, d, train=False)[:, None, :])  # (B, 1, C)
-    return loss_fn, val_fn, ev_fn, lambda ev: ev[:, 0, :]
+    def loss_fn_s(params, batch, mask, t, key, state):
+        ev, new_state = evidence(params, batch, state=state, train=True, key=key)
+        return _loss(ev, batch["y"], t, mask), new_state
+
+    def val_fn_s(params, state, data, t):
+        ev, _ = evidence(params, data, state=state, train=False)
+        return _loss(ev, data["y"], t, None), _acc(ev, data["y"])
+
+    agg = lambda ev: ev[:, 0, :]  # noqa: E731 — evidences are (B, 1, C)
+    stateless = (
+        loss_fn, val_fn,
+        jax.jit(lambda p, d: evidence(p, d, train=False)[0][:, None, :]),
+        agg,
+    )
+    stateful = (
+        loss_fn_s, val_fn_s,
+        jax.jit(lambda p, d, s: evidence(p, d, state=s, train=False)[0][:, None, :]),
+        agg,
+    )
+    return stateless, stateful
 
 
 # ------------------------------------------------------------------ SSL

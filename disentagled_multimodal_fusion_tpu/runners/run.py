@@ -31,7 +31,7 @@ from ..core.setup import configure
 def run_condition(
     *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out,
     fused_dmvae=True, noise=False, mesh=None, intermediate_fusions=(),
-    dtype=None,
+    dtype=None, backbone="dmvae",
 ):
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -98,28 +98,65 @@ def run_condition(
     key = jax.random.PRNGKey(cell_seed(seed, dataset_name, conflict))
     keys = jax.random.split(key, 16)
 
-    # ---- DMVAE backbone ----
-    model, params, loss_fn, opt, bstats = build_dmvae_task(
-        rng=keys[0], xs_sample=xs_tr, output_dim=dims,
-        dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
-        hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
-        lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
-        fused_modalities=fused_dmvae,
-    )
-    res = train(
-        rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
-        n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
-        batch_size=batch_size, drop_last=False, model_state=bstats,
-        mesh=mesh, tp_hidden_dim=C("dmvae.hidden_dim", 512),
-    )
-    dmvae_params = res.params
+    # ---- backbone: DMVAE (default) or DisentangledSSL (--backbone dssl;
+    # the reference documents SSL as a drop-in under the same
+    # get_embedding contract, README.md:110-229, but never runs it on
+    # real data — CUB is the 2-view contract-compatible dataset) ----
+    shared_input_dim = None
     cond = "conflict" if conflict else ("noise" if noise else "normal")
-    save_checkpoint(
-        f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
-        dmvae_params, {"dataset": dataset_name, "seed": seed, "cond": cond}, wait=False,)
+    if backbone == "dssl":
+        from ..core.tasks import build_disentangledssl_task, embed_dataset_ssl
 
-    zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr)
-    zc_te, zp_te = embed_dataset(model, dmvae_params, xs_te)
+        if len(dims) != 2:
+            raise ValueError(
+                f"--backbone dssl is 2-modal (disentangledssl.py:17-194); "
+                f"{dataset_name} has {len(dims)} views — use CUB"
+            )
+        ssl_embed = C("dssl.embed_dim", embed_dim)
+        model, params, loss_fn, opt = build_disentangledssl_task(
+            rng=keys[0], output_dim=dims,
+            hidden_dim=C("dssl.hidden_dim", 512), embed_dim=ssl_embed,
+            a=C("dssl.a", 1.0),
+            distribution=C("dssl.distribution", "vmf"),
+            vmfkappa=C("dssl.vmfkappa", 1.0),
+            lr=C("dssl.lr", 1e-3), epochs=dmvae_epochs,
+        )
+        res = train(
+            rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
+            n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
+            batch_size=batch_size, drop_last=True,  # SupCon couples the batch
+            mesh=mesh, tp_hidden_dim=C("dssl.hidden_dim", 512),
+        )
+        dmvae_params = res.params
+        save_checkpoint(
+            f"checkpoints/dssl_dataset{dataset_name}_seed{seed}_{cond}",
+            dmvae_params, {"dataset": dataset_name, "seed": seed, "cond": cond},
+            wait=False,)
+        probe_input_dim = ssl_embed  # private width
+        shared_input_dim = 2 * ssl_embed  # Zc = concat(zsx1, zsx2)
+        zc_tr, zp_tr = embed_dataset_ssl(model, dmvae_params, xs_tr)
+        zc_te, zp_te = embed_dataset_ssl(model, dmvae_params, xs_te)
+    else:
+        model, params, loss_fn, opt, bstats = build_dmvae_task(
+            rng=keys[0], xs_sample=xs_tr, output_dim=dims,
+            dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
+            hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
+            lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
+            fused_modalities=fused_dmvae,
+        )
+        res = train(
+            rng=keys[1], params=params, loss_fn=loss_fn, data={"xs": xs_tr},
+            n_train=n_train, optimizer=opt, epochs=dmvae_epochs,
+            batch_size=batch_size, drop_last=False, model_state=bstats,
+            mesh=mesh, tp_hidden_dim=C("dmvae.hidden_dim", 512),
+        )
+        dmvae_params = res.params
+        save_checkpoint(
+            f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
+            dmvae_params, {"dataset": dataset_name, "seed": seed, "cond": cond}, wait=False,)
+
+        zc_tr, zp_tr = embed_dataset(model, dmvae_params, xs_tr)
+        zc_te, zp_te = embed_dataset(model, dmvae_params, xs_te)
     probe_train = {"zc": zc_tr, "zp": zp_tr, "y": y_tr}
     probe_test = {"zc": zc_te, "zp": zp_te, "y": y_te}
     lf_train = {"xs": xs_tr, "y": y_tr}
@@ -146,6 +183,7 @@ def run_condition(
                 input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
                 dropout=probe_dropout, annealing_start=annealing_start,
                 aggregation=agg, fused=1.0, num_epochs=probe_epochs,
+                shared_input_dim=shared_input_dim,
             ),
             probe_train, probe_test,
         ))
@@ -206,6 +244,10 @@ def run_condition(
             info = evaluate_subjective_model(task, res_m.params, te_data)
         else:
             info = evaluate_subjective_model_with_shared(task, res_m.params, te_data)
+        # probes over the SSL backbone report/checkpoint as dssl_* so they
+        # can't be mistaken for (or clobber) the DMVAE-backbone artifacts
+        if backbone == "dssl":
+            name = name.replace("dmvae_", "dssl_")
         # NOTE the doubled suffix for LateFusion names (cml_fusion_fusion_
         # ds...): the reference's own template (run.py:223) — kept verbatim
         # so checkpoint/log layouts match; runners/evaluate.py documents it
@@ -451,6 +493,16 @@ def main(argv=None):
     parser.add_argument("--datasets", type=str, nargs="*", default=None)
     parser.add_argument("--conditions", type=str, nargs="*", default=["Normal", "Conflict"])
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--backbone", choices=["dmvae", "dssl"], default="dmvae",
+                        help="disentangling backbone: DMVAE (reference "
+                             "run.py protocol) or DisentangledSSL "
+                             "(disentangledssl.py:17-194 — the reference "
+                             "documents it as a drop-in under the same "
+                             "get_embedding contract, README.md:110-229, "
+                             "but never runs it on real data; 2-modal, so "
+                             "use --datasets CUB). Probe rows/checkpoints "
+                             "are named dssl_* and the report goes to "
+                             "logs/dssl_dataset_analysis.xlsx")
     parser.add_argument("--no-fused-dmvae", action="store_true",
                         help="use the unfused per-modality DMVAE")
     parser.add_argument(
@@ -540,6 +592,10 @@ def main(argv=None):
                 build_late_fusion_task, embed_dataset)
 
     seeds = args.seeds if args.seeds is not None else C("experiment.seeds", [0, 1, 2, 3, 4])
+    if args.backbone == "dssl" and args.vmap_seeds:
+        parser.error("--backbone dssl runs the sequential path only "
+                     "(the SSL backbone has no vmapped trainer; same "
+                     "restriction as run_synthetic)")
     # axon-relay safety guard: auto-fallback to the sequential path in the
     # known-crash config (f32 vmapped probe compiles; see common.py)
     args.vmap_seeds = guard_vmap_seeds(args, len(seeds), args.dtype)
@@ -672,6 +728,7 @@ def main(argv=None):
                             fused_dmvae=not args.no_fused_dmvae, mesh=mesh,
                             intermediate_fusions=ifusions,
                             dtype=None if args.dtype == "float32" else args.dtype,
+                            backbone=args.backbone,
                         )
                         _save_rows()
 
@@ -681,9 +738,15 @@ def main(argv=None):
 
     df = None
     if not args.skip_report:
-        df = write_sweep_report(
-            rows, C("logging.datasets_excel_path", "logs/dataset_analysis.xlsx")
-        )
+        report = C("logging.datasets_excel_path", "logs/dataset_analysis.xlsx")
+        if args.backbone == "dssl":
+            # never let a dssl-backbone sweep overwrite the canonical
+            # dmvae-backbone report
+            from pathlib import Path as _P
+
+            p = _P(report)
+            report = str(p.with_name(f"dssl_{p.name}"))
+        df = write_sweep_report(rows, report)
     from ..core.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()  # async saves must be durable before we declare done

@@ -65,6 +65,22 @@ def main(argv=None):
              "CNN, the one compute-dense stack here — on the MXU in bf16; "
              "also the relay-safe --vmap-seeds mode, see runners/common.py)",
     )
+    parser.add_argument(
+        "--include-intermediate", action="store_true",
+        help="also sweep the IntermediateFusion baseline (concat -> single "
+             "evidential head on the LUMA feature encoders; reference "
+             "baselines.py:153-252, defined there but never swept)",
+    )
+    parser.add_argument(
+        "--intermediate-fusion", type=str, nargs="*", default=None,
+        metavar="NAME",
+        help="sweep IntermediateFusion with these library fusion ops "
+             "(models/fusions.py INTERMEDIATE_FUSIONS, e.g. lrtf mi3 "
+             "concat_linear; 'concat' is the reference's choice and is what "
+             "--include-intermediate adds); view-count-incompatible fusions "
+             "are skipped with a warning. With --ood-eval each intermediate "
+             "model also gets an OOD-vs-ID AUROC row",
+    )
     parser.add_argument("--rows-file", default=None, metavar="PATH",
                         help="crash-resilient protocol: result rows are "
                              "checkpointed to PATH after every seed; on "
@@ -94,10 +110,20 @@ def main(argv=None):
     from ..core.tasks import (
         build_disentangled_probe_task,
         build_dmvae_task,
+        build_intermediate_fusion_task,
         build_late_fusion_task,
         build_probe_task,
         embed_dataset_chunked,
     )
+    from ..models.fusions import INTERMEDIATE_FUSIONS, build_fusion
+
+    ifusions = list(args.intermediate_fusion or [])
+    unknown = [f for f in ifusions if f not in INTERMEDIATE_FUSIONS]
+    if unknown:
+        parser.error(f"unknown --intermediate-fusion {unknown}; "
+                     f"supported: {INTERMEDIATE_FUSIONS}")
+    if args.include_intermediate and "concat" not in ifusions:
+        ifusions.insert(0, "concat")
     if args.dtype != "float32":
         from functools import partial
 
@@ -107,6 +133,9 @@ def main(argv=None):
             build_disentangled_probe_task, dtype=args.dtype
         )
         build_late_fusion_task = partial(build_late_fusion_task, dtype=args.dtype)
+        build_intermediate_fusion_task = partial(
+            build_intermediate_fusion_task, dtype=args.dtype
+        )
     from ..core.train import train, train_many
     from ..data.luma import get_luma_arrays, get_luma_ood_arrays
     from ..eval.analysis import (
@@ -199,6 +228,32 @@ def main(argv=None):
             ImageEncoder(output_dim=enc_out, dropout=0.1),
         )
 
+    # IntermediateFusion jobs (reference baselines.py:153-252 on the LUMA
+    # encoders): view-count/size-incompatible fusions become skip markers
+    # that satisfy the --rows-file completeness count (run.py contract)
+    # and are stripped from reports
+    inter_jobs, inter_skipped = [], {}
+    for fname in ifusions:
+        jname = ("intermediate_fusion" if fname == "concat"
+                 else f"intermediate_{fname}")
+        try:
+            build_fusion(fname, tuple([enc_out] * 3))
+        except ValueError as e:
+            print(f"  [LUMA] skipping {jname}: {e}", flush=True)
+            inter_skipped[jname] = {"skipped": str(e)}
+            continue
+        inter_jobs.append((jname, fname))
+
+    def imf_builder(fname):
+        def b(k):
+            return build_intermediate_fusion_task(
+                rng=k, output_dims=[enc_out] * 3, num_classes=num_classes,
+                dropout=probe_dropout, lr=luma_lr,
+                annealing_start=annealing_start, fusion=fname,
+                feature_encoders=encoders(), input_dims=view_shapes,
+            )
+        return b
+
     rows = {}
     t_start = time.time()
 
@@ -206,7 +261,7 @@ def main(argv=None):
     import json as _json
     from pathlib import Path as _Path
 
-    n_models = 6
+    n_models = 6 + len(ifusions)
 
     def _seed_complete(s):
         return len(rows.get(s, {}).get("Normal", {}).get("LUMA", {})) >= n_models
@@ -238,7 +293,7 @@ def main(argv=None):
         # corpus is shared across seeds via data_broadcast ----
         t0 = time.time()
         for s in seeds:
-            rows[s] = {"Normal": {"LUMA": {}}}
+            rows[s] = {"Normal": {"LUMA": dict(inter_skipped)}}
         stack = lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
         seed_keys = [jax.random.PRNGKey(s) for s in seeds]
         keyrows = [jax.random.split(k, 16) for k in seed_keys]
@@ -323,23 +378,33 @@ def main(argv=None):
                     input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=luma_lr,
                     dropout=probe_dropout, annealing_start=annealing_start,
                     aggregation=agg, fused=1.0, num_epochs=probe_epochs), False
-            agg = ["dbf", "cml", "avg"][j - 3]
-            return f"{agg}_fusion", lambda k: build_late_fusion_task(
-                rng=k, output_dims=[enc_out] * 3, num_classes=num_classes,
-                hidden_dim=probe_hidden, dropout=probe_dropout, lr=luma_lr,
-                annealing_start=annealing_start, aggregation=agg, fused=1.0,
-                feature_encoders=encoders(),
-                input_dims=view_shapes), True
+            if j < 6:
+                agg = ["dbf", "cml", "avg"][j - 3]
+                return f"{agg}_fusion", lambda k: build_late_fusion_task(
+                    rng=k, output_dims=[enc_out] * 3, num_classes=num_classes,
+                    hidden_dim=probe_hidden, dropout=probe_dropout, lr=luma_lr,
+                    annealing_start=annealing_start, aggregation=agg, fused=1.0,
+                    feature_encoders=encoders(),
+                    input_dims=view_shapes), True
+            jname, fname = inter_jobs[j - 6]
+            return jname, imf_builder(fname), True
 
-        for j in range(6):
+        for j in range(6 + len(inter_jobs)):
             name, builder, is_lf = builders_for(j)
-            tasks = [builder(kr[2 + j]) for kr in keyrows]
+            # base jobs keep their archived key slots (kr[2+j] init,
+            # kr[10+j] train); intermediate jobs draw fresh streams from
+            # the unused kr[8]/kr[9] slots via fold_in
+            init_keys = ([kr[2 + j] for kr in keyrows] if j < 6 else
+                         [jax.random.fold_in(kr[8], j) for kr in keyrows])
+            tasks = [builder(k) for k in init_keys]
             task = tasks[0]
             p_stack = stack([t.params for t in tasks])
             ms_stack = (stack([t.model_state for t in tasks])
                         if task.model_state is not None else None)
+            train_keys = ([kr[10 + j] for kr in keyrows] if j < 6 else
+                          [jax.random.fold_in(kr[9], j) for kr in keyrows])
             res_m = train_many(
-                rngs=jnp.stack([kr[10 + j] for kr in keyrows]),
+                rngs=jnp.stack(train_keys),
                 params_stack=p_stack, loss_fn=task.loss_fn,
                 data_stack=lf_train if is_lf else probe_train,
                 n_train=n_train, optimizer=task.optimizer, epochs=probe_epochs,
@@ -354,7 +419,8 @@ def main(argv=None):
                         if res_m.model_state is not None else None)
                 te_i = (lf_test if is_lf
                         else jax.tree.map(lambda a: a[i], probe_test))
-                if name == "dmvae_dis":
+                # intermediate has ONE head -> per-view evaluator layout
+                if name == "dmvae_dis" or name.startswith("intermediate"):
                     info = evaluate_subjective_model(task, p_i, te_i, ms_i)
                 else:
                     info = evaluate_subjective_model_with_shared(task, p_i, te_i, ms_i)
@@ -384,7 +450,7 @@ def main(argv=None):
                   flush=True)
             continue
         t0 = time.time()
-        rows[seed] = {"Normal": {"LUMA": {}}}
+        rows[seed] = {"Normal": {"LUMA": dict(inter_skipped)}}
         out = rows[seed]["Normal"]["LUMA"]
         key = jax.random.PRNGKey(seed)
         keys = jax.random.split(key, 16)
@@ -457,21 +523,33 @@ def main(argv=None):
                     input_dims=view_shapes,
                 ), lf_train, lf_test,
             ))
+        for jname, fname in inter_jobs:
+            # concat keeps run.py's key convention (keys[15]); other
+            # fusions fold their registry index into it
+            k = (keys[15] if fname == "concat"
+                 else jax.random.fold_in(keys[15], INTERMEDIATE_FUSIONS.index(fname)))
+            jobs.append((jname, imf_builder(fname)(k), lf_train, lf_test))
 
         for i, (name, task, tr_d, te_d) in enumerate(jobs):
+            # jobs beyond the historical 6 draw fresh train keys by fold_in
+            # so the base models keep their archived streams
+            train_rng = (keys[8 + i] if i < 6
+                         else jax.random.fold_in(keys[8], 1000 + i))
             res_m = train(
-                rng=keys[8 + i], params=task.params, loss_fn=task.loss_fn,
+                rng=train_rng, params=task.params, loss_fn=task.loss_fn,
                 data=tr_d, n_train=n_train, optimizer=task.optimizer,
                 epochs=probe_epochs, batch_size=batch_size, drop_last=False,
                 val_fn=task.val_fn, val_data=te_d, model_state=task.model_state,
                 mesh=mesh, tp_hidden_dim=probe_hidden[0],
             )
-            if name == "dmvae_dis":
+            # intermediate has ONE head -> per-view evaluator layout
+            if name == "dmvae_dis" or name.startswith("intermediate"):
                 info = evaluate_subjective_model(task, res_m.params, te_d, res_m.model_state)
             else:
                 info = evaluate_subjective_model_with_shared(task, res_m.params, te_d, res_m.model_state)
             if xs_ood is not None:
-                od = lf_ood if name.endswith("_fusion") else probe_ood
+                od = (lf_ood if name.endswith("_fusion")
+                      or name.startswith("intermediate") else probe_ood)
                 info["ood"] = ood_info(task, res_m.params, res_m.model_state, te_d, od)
             log_training_csv(f"{name}_fusion_dsLUMA_seed{seed}", res_m)
             path = save_checkpoint(
@@ -488,6 +566,19 @@ def main(argv=None):
         _save_rows()
         print(f"[seed {seed}] done in {time.time() - t0:.1f}s", flush=True)
 
+    # drop view-count-incompatible fusion skip markers ({"skipped": reason}
+    # rows satisfy the --rows-file completeness count but carry no metrics)
+    rows = {
+        seed: {
+            cond: {
+                ds: {m: v for m, v in models.items()
+                     if not (isinstance(v, dict) and "skipped" in v)}
+                for ds, models in conds.items()
+            }
+            for cond, conds in by_cond.items()
+        }
+        for seed, by_cond in rows.items()
+    }
     df = build_metrics_dataframe_datasets(rows)
     df["seed"] = df["seed"].astype(int)
     df_main = main_columns(df, ["seed", "type", "dataset", "model"])

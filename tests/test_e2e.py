@@ -337,6 +337,65 @@ def test_luma_rows_file_ood_resume(tmp_path):
         assert len(rs) == 2, (model, len(rs))
 
 
+def test_luma_intermediate_fusion_with_batchnorm(tmp_path):
+    """run_luma --include-intermediate: IntermediateFusion over the LUMA
+    feature encoders — the ImageEncoder carries BatchNorm batch_stats, so
+    this exercises the stateful intermediate closures (the combination
+    that used to raise NotImplementedError in core/tasks.py) end-to-end,
+    plus the --ood-eval AUROC row for the intermediate model."""
+    import json
+
+    from disentagled_multimodal_fusion_tpu.core.artifacts import artifact_path
+    from disentagled_multimodal_fusion_tpu.data.luma import make_fake_luma
+    from disentagled_multimodal_fusion_tpu.runners.run_luma import main as luma_main
+
+    root = make_fake_luma(
+        tmp_path / "luma", n_classes=3, train_per_class=4, test_per_class=2,
+        ood_classes=1)
+    df = luma_main([
+        "--seeds", "0", "--data-path", root,
+        "--dmvae-epochs", "2", "--probe-epochs", "2",
+        "--include-intermediate", "--ood-eval",
+    ])
+    assert "intermediate_fusion" in set(df["model"])
+    acc = float(df[df["model"] == "intermediate_fusion"]["fused_accuracy"].iloc[0])
+    assert 0.0 <= acc <= 1.0
+    ood = json.loads(artifact_path("logs/luma_ood.json").read_text())
+    assert "intermediate_fusion" in ood["per_seed"]
+
+
+def test_luma_intermediate_vmapped_and_skip_marker(tmp_path):
+    """Vmapped LUMA path with an intermediate job (BatchNorm state stacked
+    across seeds) plus a view-count-incompatible fusion (mi_matrix is
+    2-modal; LUMA has 3 views): the incompatible one leaves a skip marker
+    that satisfies the --rows-file count and is stripped from the report."""
+    import json
+    from pathlib import Path
+
+    from disentagled_multimodal_fusion_tpu.data.luma import make_fake_luma
+    from disentagled_multimodal_fusion_tpu.runners.run_luma import main as luma_main
+
+    root = make_fake_luma(
+        tmp_path / "luma", n_classes=3, train_per_class=4, test_per_class=2)
+    rows_file = str(tmp_path / "rows.json")
+    df = luma_main([
+        "--seeds", "0", "1", "--data-path", root,
+        "--dmvae-epochs", "2", "--probe-epochs", "2",
+        "--vmap-seeds", "--force-vmap-seeds",
+        "--intermediate-fusion", "concat", "mi_matrix",
+        "--rows-file", rows_file,
+    ])
+    models = set(df["model"])
+    assert "intermediate_fusion" in models
+    assert "intermediate_mi_matrix" not in models  # skipped, stripped
+    saved = json.loads(Path(rows_file).read_text())
+    for s in ("0", "1"):
+        cell = saved[s]["Normal"]["LUMA"]
+        assert "skipped" in cell["intermediate_mi_matrix"]
+        # 6 base + concat + skip marker = complete at n_models == 8
+        assert len(cell) == 8
+
+
 def test_evaluate_reload_noise_condition(tmp_path):
     """runners/evaluate reloads a Noise-condition .mat checkpoint (the
     _noise suffix + test-row noise injection replay)."""
