@@ -24,6 +24,16 @@ verbatim below minus that call.
 Run:
   python tools/parity_dssl.py --deps 0 50 100 --seeds 0 1 2 3 4
 Writes results/parity_check_dssl.json.
+
+Real-data mode (VERDICT r3 item 3 — the reference documents SSL as a
+drop-in backbone under the same get_embedding contract,
+/root/reference/README.md:110-229, but never executes it on real data;
+CUB is the 2-view contract-compatible .mat):
+  python tools/parity_dssl.py --dataset CUB --seeds 0 1 2 3 4 \
+      --probe-epochs 200 --out results/parity_check_dssl_cub.json
+mirrors `run.py --backbone dssl --datasets CUB` hyperparameters
+(embed 200, hidden 512, lr 1e-3, batch 100, drop_last) plus the
+real-data dmvae_cml probe protocol (lr 3e-3, annealing 50, fused=1).
 """
 
 from __future__ import annotations
@@ -264,6 +274,81 @@ def run_cell(seed, dep, *, out, backbone_epochs, probe_epochs):
     cell["probe_on_jax_emb"].append(probe_on_jax)
 
 
+def run_cell_mat(seed, dataset, *, out, backbone_epochs, probe_epochs):
+    """One real-data (.mat) parity seed: identical 80/20 split (the
+    parity_check.py convention), DSSL backbones trained on both sides
+    under run.py --backbone dssl hyperparameters, then the real-data
+    dmvae_cml probe protocol on each side's embeddings."""
+    import jax.numpy as jnp
+
+    from disentagled_multimodal_fusion_tpu.data.multiview import DATASET_REGISTRY
+
+    ds = DATASET_REGISTRY[dataset]()
+    rng_np = np.random.default_rng(seed)
+    idx = rng_np.permutation(len(ds))
+    n_tr = int(0.8 * len(ds))
+    tr, te = idx[:n_tr], idx[n_tr:]
+    views, y = ds.arrays()
+    views_tr = [v[tr] for v in views]
+    views_te = [v[te] for v in views]
+    if len(views_tr) != 2:
+        raise ValueError(
+            f"dssl is 2-modal (disentangledssl.py:17-194); {dataset} has "
+            f"{len(views_tr)} views — use CUB"
+        )
+    y_tr, y_te = np.asarray(y[tr]), np.asarray(y[te])
+    dims = [v.shape[1] for v in views_tr]
+
+    # run.py --backbone dssl defaults: embed C("dssl.embed_dim", 200),
+    # hidden 512, lr 1e-3, batch C("dataloader.batch_size", 100), drop_last
+    kw = dict(embed_dim=200, hidden_dim=512, lr=1e-3,
+              epochs=backbone_epochs, batch=100)
+    t0 = time.time()
+    t_losses, t_emb_tr, t_emb_te = torch_dssl_fit(
+        views_tr, views_te, dims, seed, **kw)
+    t_torch = time.time() - t0
+    t0 = time.time()
+    xs_tr = tuple(jnp.asarray(v) for v in views_tr)
+    xs_te = tuple(jnp.asarray(v) for v in views_te)
+    j_losses, j_emb_tr, j_emb_te = jax_dssl_fit(xs_tr, xs_te, dims, seed, **kw)
+    t_jax = time.time() - t0
+    print(
+        f"[{dataset} seed {seed}] dssl losses: torch final {t_losses[-1]:.4f} "
+        f"({t_torch:.0f}s) vs jax final {j_losses[-1]:.4f} ({t_jax:.0f}s)",
+        flush=True,
+    )
+
+    # the real-data dmvae_cml probe protocol (parity_check.py jobs 2-3:
+    # AdamW(1e-4)+cosine, CUB lr 3e-3, annealing 50, fused=1, batch 100)
+    def probe(emb_tr, emb_te):
+        return torch_heads_fit(
+            emb_tr, y_tr, emb_te, y_te, ds.num_classes, lr=3e-3,
+            annealing_start=50, epochs=probe_epochs, batch=100, hidden=128,
+            dropout=0.1, optimizer="adamw", schedule="cosine",
+            weight_decay=1e-4, seed=seed, agg="cml", fused=1,
+            drop_last=False,
+        )
+
+    probe_on_torch = probe(t_emb_tr, t_emb_te)
+    probe_on_jax = probe(j_emb_tr, j_emb_te)
+    print(
+        f"[{dataset} seed {seed}] probe: on-torch-emb acc "
+        f"{probe_on_torch['accuracy']:.4f} vs on-jax-emb acc "
+        f"{probe_on_jax['accuracy']:.4f}",
+        flush=True,
+    )
+
+    cell = out.setdefault(dataset, {
+        "seeds": [], "torch_loss": [], "jax_loss": [],
+        "probe_on_torch_emb": [], "probe_on_jax_emb": [],
+    })
+    cell["seeds"].append(seed)
+    cell["torch_loss"].append(t_losses)
+    cell["jax_loss"].append(j_losses)
+    cell["probe_on_torch_emb"].append(probe_on_torch)
+    cell["probe_on_jax_emb"].append(probe_on_jax)
+
+
 def summarize(out):
     s = {}
     for dep, cell in out.items():
@@ -296,6 +381,9 @@ def main():
     parser.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2, 3, 4])
     parser.add_argument("--backbone-epochs", type=int, default=100)
     parser.add_argument("--probe-epochs", type=int, default=50)
+    parser.add_argument("--dataset", default="synthetic",
+                        help="synthetic (default; cells from --deps) or a "
+                             "2-view .mat registry name (CUB)")
     parser.add_argument("--out", default="results/parity_check_dssl.json")
     args = parser.parse_args()
 
@@ -305,14 +393,22 @@ def main():
     import jax
 
     out = {}
-    for dep in args.deps:
+    cells = args.deps if args.dataset == "synthetic" else [args.dataset]
+    for cell in cells:
         for seed in args.seeds:
-            run_cell(seed, dep, out=out, backbone_epochs=args.backbone_epochs,
-                     probe_epochs=args.probe_epochs)
+            if args.dataset == "synthetic":
+                run_cell(seed, cell, out=out,
+                         backbone_epochs=args.backbone_epochs,
+                         probe_epochs=args.probe_epochs)
+            else:
+                run_cell_mat(seed, cell, out=out,
+                             backbone_epochs=args.backbone_epochs,
+                             probe_epochs=args.probe_epochs)
             summary = summarize(out)
             meta = {"jax_backend": jax.default_backend(),
                     "backbone_epochs": args.backbone_epochs,
-                    "probe_epochs": args.probe_epochs}
+                    "probe_epochs": args.probe_epochs,
+                    "dataset": args.dataset}
             Path("results").mkdir(exist_ok=True)
             Path(args.out).write_text(json.dumps(
                 {"meta": meta, "per_cell": out, "summary": summary}, indent=1))
