@@ -120,9 +120,17 @@ class MultiplicativeInteractions2Modal(nn.Module):
             U = self.param("U", xn, (d0, p * q))
             V = self.param("V", xn, (d1, p * q))
             b = self.param("b", xn, (p, q))
-            Wp = jnp.einsum("bn,nmd->bmd", m1, W).reshape(-1, d1, p, q) + V.reshape(d1, p, q)
+            # Contract the W-term as (B, d0*d1) @ (d0*d1, p*q) instead of
+            # materializing the per-sample weight tensor (B, d1, p, q): at
+            # LUMA scale (full-test-batch eval, B=4200, d=200, p*q=12800)
+            # the naive form allocates 43 GB; this form's biggest
+            # intermediate is the rank-1 outer product (B, d0*d1) and the
+            # contraction itself is one large MXU matmul. Same math — the
+            # einsum over W distributes across its V / U / b additive terms.
+            outer = jnp.einsum("bn,bm->bnm", m1, m2).reshape(-1, d0 * d1)
+            core = outer @ W.reshape(d0 * d1, p * q)
             bp = jnp.einsum("bn,nd->bd", m1, U).reshape(-1, p, q) + b
-            return jnp.einsum("bm,bmpq->bpq", m2, Wp) + bp
+            return (core + m2 @ V).reshape(-1, p, q) + bp
         if self.output == "matrix":
             d = self.output_dim
             W = self.param("W", xn, (d0, d1 * d))

@@ -366,6 +366,25 @@ def test_fusion_library_golden_vs_reference():
     close(ours.apply({"params": params}, [aj, bj]), ref([at, bt]))
 
 
+def test_mi3_no_per_sample_weight_tensor():
+    """The matrix3D branch must NOT materialize the per-sample weight tensor
+    (B, d1, p, q): at LUMA scale (full-test-batch eval B=4200, d=200,
+    p*q=12800) the naive einsum chain allocates 43 GB and OOMs the v5e at
+    compile time (round 4). The fixed form contracts (B, d0*d1) @ (d0*d1,
+    p*q); this pins the optimized HLO free of any rank-3/4 reshuffle of that
+    size. Golden-value equivalence vs the reference module is pinned by
+    test_fusion_library_golden_vs_reference above."""
+    from disentagled_multimodal_fusion_tpu.models import fusions as F
+
+    B, d, out = 512, 200, 64
+    mi3 = F.MultiplicativeInteractions3Modal(input_dims=(d, d, d), output_dim=out)
+    xs = [jnp.ones((B, d)) for _ in range(3)]
+    params = mi3.init(KEY, xs)
+    txt = jax.jit(lambda p, x: mi3.apply(p, x)).lower(params, xs).compile().as_text()
+    for bad in (f"{B},{d},{d},{out}", f"{B},{d},{d * out}", f"{B},{d * out},{d}"):
+        assert bad not in txt, f"giant per-sample intermediate {bad} reappeared"
+
+
 def test_luma_encoder_torch_default_init_law():
     """The LUMA encoders keep torch's DEFAULT init (kaiming_uniform(a=sqrt(5))
     => U(+-1/sqrt(fan_in)) kernels) — the reference never applies
