@@ -6,6 +6,7 @@ Prints ONE JSON line:
    "unit": "ms", "vs_baseline": <torch_ms / ours>,
    "flops_per_epoch": N, "flops_per_sec": N, "bf16_epoch_ms": N,
    "vmapped": {"seeds": 5, "epoch_ms_per_seed": N, "flops_per_sec": N},
+   "compile_s": {"f32": N, "bf16": N},
    "probe_epoch_ms": N,
    "probe_vmapped": {"seeds": 25, "epoch_ms_per_seed": N, "speedup_vs_single": N},
    "note": "..."}
@@ -134,7 +135,7 @@ def bench_jax(xs_np, dims, fused_modalities: bool = True, dtype=None):
         f"final loss {float(res.train_loss[-1]):.4f}; "
         f"program flops {flops:.3e}"
     )
-    return t_run / EPOCHS_JAX * 1000.0, flops / EPOCHS_JAX
+    return t_run / EPOCHS_JAX * 1000.0, flops / EPOCHS_JAX, t_compile
 
 
 def bench_jax_vmapped(xs_np, dims):
@@ -382,8 +383,8 @@ def main():
              "a host-CPU number, NOT TPU performance")
     xs_np, dims = load_data()
     _log(f"HandWritten train split: {xs_np[0].shape[0]} rows, dims {dims}")
-    ours_ms, flops_epoch = bench_jax(xs_np, dims)
-    bf16_ms, _ = bench_jax(xs_np, dims, dtype="bfloat16")
+    ours_ms, flops_epoch, f32_compile_s = bench_jax(xs_np, dims)
+    bf16_ms, _, bf16_compile_s = bench_jax(xs_np, dims, dtype="bfloat16")
     vmap_ms, vmap_flops = bench_jax_vmapped(xs_np, dims)
     probe_ms, probe_vm_ms = bench_jax_probe()
     # sample host load BEFORE and AFTER the torch baseline: the 1-min
@@ -404,6 +405,13 @@ def main():
         "flops_per_epoch": flops_epoch,
         "flops_per_sec": round(flops_epoch / (ours_ms / 1000.0), 3) if ours_ms else None,
         "bf16_epoch_ms": round(bf16_ms, 3),
+        # Compile cost of the two main programs (timing above excludes it).
+        # The f32-"highest" program is ~100x slower to compile than bf16
+        # (197 s vs 1.7 s first-touch on the v5e relay — docs/PERF.md §6);
+        # the persistent XLA cache (core/setup.py) makes re-compiles
+        # cross-process ~seconds, so a small f32_compile_s here means the
+        # cache hit and 197-s-scale means first touch in a fresh VM/cache.
+        "compile_s": {"f32": round(f32_compile_s, 1), "bf16": round(bf16_compile_s, 1)},
         "vmapped": {
             "seeds": VMAP_SEEDS,
             "epoch_ms_per_seed": round(vmap_ms / VMAP_SEEDS, 3),
