@@ -60,6 +60,8 @@ class EvidentialTask(NamedTuple):
     optimizer: OptimizerConfig
     has_shared: bool        # True if evidences[:, 0] is the shared view
     model_state: Any = None
+    megakernel: Any = None  # ProbeMegakernelDesc when the whole-epoch
+                            # Pallas fast path applies (core/megakernel.py)
 
 
 _MISS = object()
@@ -270,9 +272,18 @@ def build_probe_task(
         name="adamw", lr=lr, weight_decay=1e-4,
         schedule="cosine", cosine_t_max=num_epochs, eta_min=1e-6,
     )
+    mk = None
+    if fused_heads and len(tuple(hidden_dim)) == 1 and dtype is None:
+        from .megakernel import ProbeMegakernelDesc
+
+        mk = ProbeMegakernelDesc(
+            num_modalities, num_classes, input_dim, shared_input_dim,
+            tuple(hidden_dim)[0], float(dropout), float(fused),
+            float(annealing_start), True,
+        )
     return EvidentialTask(
         model, params, loss_fn, val_fn, ev_fn, agg,
-        num_classes, opt, has_shared=True,
+        num_classes, opt, has_shared=True, megakernel=mk,
     )
 
 
@@ -348,9 +359,18 @@ def build_disentangled_probe_task(
         name="adamw", lr=lr, weight_decay=0.01,
         schedule="plateau", plateau_factor=0.1, plateau_patience=5,
     )
+    mk = None
+    if fused_heads and len(tuple(hidden_dim)) == 1 and dtype is None:
+        from .megakernel import ProbeMegakernelDesc
+
+        mk = ProbeMegakernelDesc(
+            num_modalities, num_classes, input_dim, None,
+            tuple(hidden_dim)[0], float(dropout), 1.0,
+            float(annealing_start), False,
+        )
     return EvidentialTask(
         model, params, loss_fn, val_fn, ev_fn, agg,
-        num_classes, opt, has_shared=False,
+        num_classes, opt, has_shared=False, megakernel=mk,
     )
 
 

@@ -192,6 +192,7 @@ def train(
     resume: Any = None,
     mesh: Any = None,
     tp_hidden_dim: Optional[int] = None,
+    megakernel: Any = None,
 ) -> TrainResult:
     """Run a full training job as one jitted scan.
 
@@ -217,22 +218,51 @@ def train(
     loss_fn takes it as a 6th argument and must return the updated state as
     ``aux``; val_fn then also takes it: (params, state, val_data, t).
     Otherwise val_fn is (params, val_data, t) -> (val_loss, val_acc).
+
+    ``megakernel``: a core.megakernel.ProbeMegakernelDesc (attached to
+    probe tasks by core.tasks). When the fit qualifies
+    (supports_probe_megakernel: stateless, single-device, adamw), the
+    whole-epoch Pallas program replaces the step-scan XLA program —
+    same contract, same randomness stream, one kernel launch per epoch.
+    Callers opt in per fit (runners: --probe-engine megakernel).
     """
     has_state = model_state is not None
+    use_megakernel = False
+    if megakernel is not None:
+        from .megakernel import supports_probe_megakernel
+
+        use_megakernel = supports_probe_megakernel(
+            megakernel, optimizer, model_state=model_state, mesh=mesh
+        )
 
     def build():
-        program = make_train_program(
-            loss_fn=loss_fn,
-            n_train=n_train,
-            optimizer=optimizer,
-            epochs=epochs,
-            batch_size=batch_size,
-            drop_last=drop_last,
-            shuffle=shuffle,
-            val_fn=val_fn,
-            has_state=has_state,
-            start_epoch=start_epoch,
-        )
+        if use_megakernel:
+            from .megakernel import make_probe_megakernel_program
+
+            program = make_probe_megakernel_program(
+                desc=megakernel,
+                n_train=n_train,
+                optimizer=optimizer,
+                epochs=epochs,
+                batch_size=batch_size,
+                drop_last=drop_last,
+                shuffle=shuffle,
+                val_fn=val_fn,
+                start_epoch=start_epoch,
+            )
+        else:
+            program = make_train_program(
+                loss_fn=loss_fn,
+                n_train=n_train,
+                optimizer=optimizer,
+                epochs=epochs,
+                batch_size=batch_size,
+                drop_last=drop_last,
+                shuffle=shuffle,
+                val_fn=val_fn,
+                has_state=has_state,
+                start_epoch=start_epoch,
+            )
 
         def run(params, rng, data, val_data, model_state, resume):
             return program(params, rng, data, val_data, model_state, resume)
@@ -241,7 +271,8 @@ def train(
 
     run = _cached_program(
         ("single", loss_fn, val_fn, has_state, n_train, optimizer, epochs,
-         batch_size, drop_last, shuffle, start_epoch, donate),
+         batch_size, drop_last, shuffle, start_epoch, donate,
+         megakernel if use_megakernel else None),
         build,
     )
 

@@ -31,7 +31,7 @@ from ..core.setup import configure
 def run_condition(
     *, C, seed, dataset_name, conflict, quick, jax, jnp, np, builders, rows_out,
     fused_dmvae=True, noise=False, mesh=None, intermediate_fusions=(),
-    dtype=None, backbone="dmvae",
+    dtype=None, backbone="dmvae", probe_engine="xla",
 ):
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
@@ -237,6 +237,9 @@ def run_condition(
             epochs=probe_epochs, batch_size=batch_size, drop_last=False,
             val_fn=task.val_fn, val_data=te_data,
             mesh=mesh, tp_hidden_dim=probe_hidden[0],
+            # whole-epoch Pallas path for the probe fits (core/megakernel);
+            # non-probe tasks carry megakernel=None, so this is a no-op there
+            megakernel=task.megakernel if probe_engine == "megakernel" else None,
         )
         # dispatch mirrors run.py:252-255 (intermediate has ONE head ->
         # per-view layout; with_shared needs V >= 2)
@@ -506,6 +509,16 @@ def main(argv=None):
     parser.add_argument("--no-fused-dmvae", action="store_true",
                         help="use the unfused per-modality DMVAE")
     parser.add_argument(
+        "--probe-engine", choices=["xla", "megakernel"], default="xla",
+        help="probe-fit execution engine: 'xla' (default; the step-scan "
+             "program) or 'megakernel' (whole-epoch Pallas kernel, "
+             "core/megakernel.py — one kernel launch per epoch with "
+             "params/Adam state VMEM-resident; same randomness stream, "
+             "float-level parity pinned by tests/test_probe_megakernel.py). "
+             "Sequential path only; applies to the probe fits (the DMVAE "
+             "fit is HBM-bound and keeps the XLA program either way)",
+    )
+    parser.add_argument(
         "--vmap-seeds", action="store_true",
         help="train all seeds of each (dataset, condition) cell as one "
              "vmapped program (identical math per seed). Wall-clock effect "
@@ -596,6 +609,14 @@ def main(argv=None):
         parser.error("--backbone dssl runs the sequential path only "
                      "(the SSL backbone has no vmapped trainer; same "
                      "restriction as run_synthetic)")
+    if args.probe_engine == "megakernel" and args.vmap_seeds:
+        parser.error("--probe-engine megakernel runs the sequential path "
+                     "only (train_many has no kernel program)")
+    if args.probe_engine == "megakernel" and (args.data_parallel > 1
+                                              or args.model_parallel > 1):
+        parser.error("--probe-engine megakernel is single-device "
+                     "(probe fits are KB-scale; mesh parallelism applies "
+                     "to the backbone fit, which keeps the XLA program)")
     # axon-relay safety guard: auto-fallback to the sequential path in the
     # known-crash config (f32 vmapped probe compiles; see common.py)
     args.vmap_seeds = guard_vmap_seeds(args, len(seeds), args.dtype)
@@ -729,6 +750,7 @@ def main(argv=None):
                             intermediate_fusions=ifusions,
                             dtype=None if args.dtype == "float32" else args.dtype,
                             backbone=args.backbone,
+                            probe_engine=args.probe_engine,
                         )
                         _save_rows()
 

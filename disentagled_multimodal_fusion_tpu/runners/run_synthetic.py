@@ -26,6 +26,12 @@ def main(argv=None):
     parser.add_argument("--deps", type=int, nargs="*", default=None)
     parser.add_argument("--quick", action="store_true",
                         help="tiny epoch counts for smoke testing")
+    parser.add_argument(
+        "--probe-engine", choices=["xla", "megakernel"], default="xla",
+        help="probe-fit engine (sequential path): 'megakernel' runs each "
+             "epoch as ONE Pallas kernel (core/megakernel.py); same "
+             "randomness stream as 'xla', float-level parity pinned by "
+             "tests/test_probe_megakernel.py")
     parser.add_argument("--no-fused-dmvae", action="store_true",
                         help="use the unfused per-modality DMVAE")
     parser.add_argument("--vmap-seeds", action="store_true",
@@ -119,6 +125,9 @@ def main(argv=None):
 
     # axon-relay safety guard (see runners/common.py:vmap_seeds_unsafe)
     args.vmap_seeds = guard_vmap_seeds(args, len(seeds), args.dtype)
+    if args.probe_engine == "megakernel" and args.vmap_seeds:
+        parser.error("--probe-engine megakernel runs the sequential path "
+                     "only (train_many has no kernel program)")
     if args.vmap_seeds and len(seeds) > 1 and args.backbone == "dmvae":
         from ..core.train import train_many
         from numpy import stack as np_stack
@@ -339,6 +348,8 @@ def main(argv=None):
                 batch_size=batch_size, drop_last=True,
                 val_fn=task.val_fn, val_data=probe_val,
                 mesh=mesh, tp_hidden_dim=tuple(C("dmvae_fusion.hidden_dim", (128,)))[0],
+                megakernel=(task.megakernel
+                            if args.probe_engine == "megakernel" else None),
             )
             log_training_csv(f"dmvae_fusion_seed{seed}_dep{dep}", res_p)
             save_checkpoint(
