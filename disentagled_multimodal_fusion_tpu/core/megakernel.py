@@ -30,6 +30,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.probe_megakernel import dropout_mask_key, run_epoch_kernel
 from .train import (
@@ -126,9 +127,13 @@ def make_probe_megakernel_program(
         raise ValueError("zero optimizer steps per epoch (see _epoch_batches)")
     v_heads = desc.num_modalities + (1 if desc.has_shared else 0)
     keep = 1.0 - desc.dropout
-    counts_const = jnp.asarray(
+    # numpy on purpose: this is built OUTSIDE the traced program, and a
+    # device-resident jnp constant closed over by the jitted program forces
+    # a device->host fetch at lowering time, which the axon relay backend
+    # rejects (INVALID_ARGUMENT). A numpy array inlines for free.
+    counts_const = np.asarray(
         [float(batch_size)] * steps_full + ([float(r)] if r else []),
-        jnp.float32,
+        np.float32,
     )
 
     def lr_for_epoch(epoch, plateau_lr):

@@ -202,8 +202,10 @@ def _make_epoch_kernel(keep: float, fused: float, num_classes: int,
         lr = lr_ref[0, 0]
         coef = coef_ref[0, 0]
         gamma_t = gamma_ref[0, 0]
-        bc1 = bc1_ref[0, 0]
-        bc2 = bc2_ref[0, 0]
+        # per-step SMEM operands arrive as FULL (S, 1) arrays (Mosaic
+        # rejects blocked (1,1) windows over them) — index by grid step
+        bc1 = bc1_ref[step, 0]
+        bc2 = bc2_ref[step, 0]
 
         def loss_of(params):
             evs = _stacked_forward(params, x, drop, keep, num_classes)
@@ -213,7 +215,7 @@ def _make_epoch_kernel(keep: float, fused: float, num_classes: int,
 
         params = (w1_o[...], b1_o[...], w2_o[...], b2_o[...])
         loss, grads = jax.value_and_grad(loss_of)(params)
-        loss_ref[0, 0] = loss
+        loss_ref[step, 0] = loss
 
         # scale_by_adam + add_decayed_weights + scale(-1), LR folded in
         # afterwards — exactly core/train.step_fn's update arithmetic.
@@ -260,9 +262,13 @@ def run_epoch_kernel(
     h_dim = params[0].shape[2]
 
     def scalar_spec(per_step):
+        # Per-step scalar streams ride in SMEM as FULL (S, 1) arrays —
+        # Mosaic's lowering rejects a blocked (1, 1) window over (S, 1)
+        # (block dims must divide (8, 128) or equal the array dims), so
+        # the kernel indexes them by pl.program_id instead.
+        shape = (s_steps, 1) if per_step else (1, 1)
         return pl.BlockSpec(
-            (1, 1), (lambda i: (i, 0)) if per_step else (lambda i: (0, 0)),
-            memory_space=pltpu.SMEM,
+            shape, lambda i: (0, 0), memory_space=pltpu.SMEM,
         )
 
     def carried_spec(shape):
@@ -302,6 +308,13 @@ def run_epoch_kernel(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        # the in-kernel value_and_grad materializes ~37 MB of stack
+        # temporaries at bench shapes — over Mosaic's 16 MB default
+        # scoped-vmem limit but well inside v5e's 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),  # sequential: state carry
+        ),
     )(
         xs, drops, yohs, rmasks, bc1s, bc2s,
         jnp.reshape(lr.astype(jnp.float32), (1, 1)),
