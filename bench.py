@@ -9,6 +9,7 @@ Prints ONE JSON line:
    "compile_s": {"f32": N, "bf16": N},
    "probe_epoch_ms": N,
    "probe_vmapped": {"seeds": 25, "epoch_ms_per_seed": N, "speedup_vs_single": N},
+   "probe_megakernel_epoch_ms": N | null,
    "note": "..."}
 
 Protocol (BASELINE.md): the reference publishes no numbers, so the baseline
@@ -248,7 +249,29 @@ def bench_jax_probe(n_rows=1600, n_mod=6, embed=EMBED, num_classes=10,
         f"probe fit: {single_ms:.3f} ms/epoch single; vmapped x{vmap_seeds}: "
         f"{vm_ms_seed:.3f} ms/epoch/seed ({single_ms / vm_ms_seed:.2f}x)"
     )
-    return single_ms, vm_ms_seed
+
+    # Whole-epoch Pallas megakernel on the SAME fit (--probe-engine
+    # megakernel): tracked so the docs/PERF.md "XLA wins" measurement has a
+    # per-round receipt. TPU-only — the CPU path runs the kernel in
+    # interpret mode, which is a correctness harness, not a timing one.
+    mk_ms = None
+    if jax.default_backend() == "tpu":
+        try:
+            from disentagled_multimodal_fusion_tpu.core.megakernel import (
+                make_probe_megakernel_program,
+            )
+
+            mk_program = make_probe_megakernel_program(
+                desc=t0.megakernel, n_train=n_rows, optimizer=t0.optimizer,
+                epochs=EPOCHS_JAX, batch_size=BATCH, drop_last=False,
+                shuffle=True, val_fn=None,
+            )
+            mk = jax.jit(lambda p, r: mk_program(p, r, data, None, None))
+            mk_ms = timed(mk, t0.params, key) / EPOCHS_JAX * 1000.0
+            _log(f"probe fit (megakernel): {mk_ms:.3f} ms/epoch")
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            _log(f"probe megakernel bench skipped: {type(e).__name__}: {e}")
+    return single_ms, vm_ms_seed, mk_ms
 
 
 def bench_torch(xs_np, dims) -> float:
@@ -386,7 +409,7 @@ def main():
     ours_ms, flops_epoch, f32_compile_s = bench_jax(xs_np, dims)
     bf16_ms, _, bf16_compile_s = bench_jax(xs_np, dims, dtype="bfloat16")
     vmap_ms, vmap_flops = bench_jax_vmapped(xs_np, dims)
-    probe_ms, probe_vm_ms = bench_jax_probe()
+    probe_ms, probe_vm_ms, probe_mk_ms = bench_jax_probe()
     # sample host load BEFORE and AFTER the torch baseline: the 1-min
     # loadavg is backward-looking, so the pre-sample reflects the jax
     # benches and only the post-sample can see load that started during
@@ -425,6 +448,12 @@ def main():
             "epoch_ms_per_seed": round(probe_vm_ms, 3),
             "speedup_vs_single": round(probe_ms / probe_vm_ms, 2) if probe_vm_ms else None,
         },
+        # whole-epoch Pallas kernel on the same fit (docs/PERF.md "Probe
+        # megakernel"): measured to LOSE to the XLA step-scan — tracked
+        # here as the receipt; null off-TPU or if lowering fails
+        "probe_megakernel_epoch_ms": (
+            round(probe_mk_ms, 3) if probe_mk_ms else None
+        ),
         "note": (
             "headline value uses the parity-first default "
             "(jax_default_matmul_precision=high: 3-pass bf16 synthesis — "
