@@ -313,6 +313,16 @@ INTERMEDIATE_FUSIONS = (
 #: combinatorially — e.g. HandWritten's 6 views would give ~2e11 features).
 TENSOR_FUSION_MAX_DIM = 1_500_000
 
+#: Safety cap for the multiplicative-interaction fusions' parameter count.
+#: The mi3/matrix3D weight is (d0, d1, d2*output_dim) — cubic in the view
+#: dims — and every fusion param carries 4x its size in train state
+#: (grads + Adam m/v). 1.1e9 params (4.1 GiB f32, ~16.4 GiB with state) is
+#: the measured-largest program that still trains on a 16 GiB v5e with
+#: donated buffers (LUMA mi3: dims [40,128,3072], 1.01e9 params); PIE's
+#: (484,256,279) would need 2.2e9 params (~35 GiB with state) and OOMs any
+#: single chip — torch included — so it is skipped, not attempted.
+MI_FUSION_MAX_PARAMS = 1_100_000_000
+
 
 def build_fusion(name, input_dims, *, output_dim=64, rank=8):
     """Build a library fusion for flat ``(B, S_i)`` views.
@@ -332,6 +342,13 @@ def build_fusion(name, input_dims, *, output_dim=64, rank=8):
     if name == "mi_matrix":
         if n != 2:
             raise ValueError(f"mi_matrix fuses exactly 2 views, got {n}")
+        n_params = (dims[0] * dims[1] + dims[0] + dims[1] + 1) * output_dim
+        if n_params > MI_FUSION_MAX_PARAMS:
+            raise ValueError(
+                f"mi_matrix needs {n_params:.2e} params for views {dims} "
+                f"(cap {MI_FUSION_MAX_PARAMS:.1e}: params + Adam state must "
+                f"fit single-chip HBM); use lrtf instead"
+            )
         return (
             MultiplicativeInteractions2Modal(
                 input_dims=dims, output_dim=output_dim, output="matrix"
@@ -350,6 +367,17 @@ def build_fusion(name, input_dims, *, output_dim=64, rank=8):
     if name == "mi3":
         if n != 3:
             raise ValueError(f"mi3 fuses exactly 3 views, got {n}")
+        # matrix3D branch: W (d0,d1,d2*od) + U (d0,·) + V (d1,·) + b, plus
+        # the matrix branch with tail od — cubic in the view dims
+        pair = dims[0] * dims[1] + dims[0] + dims[1] + 1
+        n_params = pair * (dims[2] * output_dim) + pair * output_dim
+        if n_params > MI_FUSION_MAX_PARAMS:
+            raise ValueError(
+                f"mi3 needs {n_params:.2e} params for views {dims} "
+                f"(cap {MI_FUSION_MAX_PARAMS:.1e}: params + Adam state must "
+                f"fit single-chip HBM — e.g. PIE (484,256,279) would be "
+                f"~35 GiB with optimizer state); use lrtf instead"
+            )
         return MultiplicativeInteractions3Modal(input_dims=dims, output_dim=output_dim), output_dim
     if name == "tensor":
         fused_dim = 1

@@ -77,6 +77,22 @@ def test_build_fusion_guards():
         build_fusion("nlgate", (5, 7))
 
 
+def test_build_fusion_mi_param_guard():
+    """mi3's matrix3D weight is (d0, d1, d2*od) — cubic in the view dims.
+    PIE's (484, 256, 279) needs 2.2e9 params (~35 GiB with Adam state),
+    which RESOURCE_EXHAUSTED's the v5e at param init (observed round 4);
+    the guard must skip it. LUMA's (40, 128, 3072) at 1.01e9 params is the
+    measured-largest mi3 that trains on a 16 GiB chip and must stay
+    allowed."""
+    with pytest.raises(ValueError, match="params"):
+        build_fusion("mi3", (484, 256, 279))  # PIE dims
+    mod, fused_dim = build_fusion("mi3", (40, 128, 3072))  # LUMA dims
+    assert fused_dim == 64
+    # a pathological 2-view pair trips the mi_matrix guard too
+    with pytest.raises(ValueError, match="params"):
+        build_fusion("mi_matrix", (200_000, 200_000))
+
+
 TWO_VIEW = [f for f in INTERMEDIATE_FUSIONS if f != "mi3"]
 
 
