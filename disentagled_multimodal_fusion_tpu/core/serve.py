@@ -55,6 +55,7 @@ def build_inference_fn(
     backbone=None,
     backbone_params=None,
     backbone_state=None,
+    mesh=None,
 ):
     """One jitted program: raw views -> predictions + uncertainties.
 
@@ -75,6 +76,14 @@ def build_inference_fn(
         When omitted, the task consumes the views directly
         (``data={"xs": ...}``) — the late/intermediate-fusion layout.
 
+    mesh
+        Optional ``jax.sharding.Mesh`` with a ``data`` axis: batch rows
+        are sharded over it (params replicate; the whole program is
+        embarrassingly row-parallel, so XLA inserts no collectives — each
+        chip serves its slice of the batch). Batch sizes must divide by
+        the ``data`` axis size; pass ``divisor=mesh.shape['data']`` to
+        :class:`ServingEngine` so its buckets comply.
+
     Returns a jitted ``fn(xs: tuple[Array, ...]) -> dict`` with keys
     ``pred`` (B,), ``probs`` (B, C) — the Dirichlet mean alpha/S,
     ``evidence`` (B, V, C) per-view, ``fused_evidence`` (B, C),
@@ -90,7 +99,16 @@ def build_inference_fn(
     num_classes = task.num_classes
     stateful = model_state is not None
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
     def infer(xs: Tuple[jax.Array, ...]):
+        if mesh is not None:
+            xs = tuple(
+                jax.lax.with_sharding_constraint(x, row_sharding) for x in xs
+            )
         if backbone is not None:
             variables = {"params": backbone_params}
             if backbone_state is not None:
@@ -130,11 +148,24 @@ class ServingEngine:
     Requests larger than the top bucket run at the next multiple of it.
     """
 
-    def __init__(self, infer_fn, buckets: Sequence[int] = DEFAULT_BUCKETS):
+    def __init__(
+        self,
+        infer_fn,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        divisor: int = 1,
+    ):
+        """``divisor``: round every bucket up to a multiple of it — set to
+        ``mesh.shape['data']`` when the inference fn shards rows over a
+        mesh, so each chip gets an equal slice."""
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive: {buckets}")
+        if divisor <= 0:
+            raise ValueError(f"divisor must be positive: {divisor}")
         self.infer_fn = infer_fn
-        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        self.divisor = int(divisor)
+        self.buckets = tuple(
+            sorted(set(-(-int(b) // self.divisor) * self.divisor for b in buckets))
+        )
 
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:

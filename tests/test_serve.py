@@ -155,3 +155,24 @@ def test_export_roundtrip(tmp_path, views, probe_setup):
 
 def test_default_buckets_sorted():
     assert DEFAULT_BUCKETS == tuple(sorted(DEFAULT_BUCKETS))
+
+
+def test_mesh_sharded_serving_matches_single_device(views, probe_setup):
+    from disentagled_multimodal_fusion_tpu.parallel.mesh import make_mesh
+
+    backbone, bb_params, task = probe_setup
+    plain = build_inference_fn(
+        task, task.params, backbone=backbone, backbone_params=bb_params
+    )
+    mesh = make_mesh(8)
+    sharded = build_inference_fn(
+        task, task.params, backbone=backbone, backbone_params=bb_params,
+        mesh=mesh,
+    )
+    engine = ServingEngine(sharded, buckets=(4, 16), divisor=8)
+    assert engine.buckets == (8, 16)  # 4 rounded up to the data-axis size
+    out = engine(tuple(x[:5] for x in views))
+    ref = plain(tuple(x[:5] for x in views))
+    for k in ref:
+        assert out[k].shape == ref[k].shape, k
+        np.testing.assert_allclose(out[k], ref[k], rtol=1e-5, atol=1e-6)
