@@ -58,7 +58,13 @@ def _load(args, C):
     np.random.seed(seed)
     dataset = DATASET_REGISTRY[args.dataset]()
     views, _ = dataset.arrays()
-    xs = tuple(jnp.asarray(v[: max(args.buckets)]) for v in views)
+    # tile the corpus rows up to the largest bucket so every bucket
+    # measures its labeled batch size even past the dataset length
+    need = max(args.buckets)
+    tile = -(-need // len(views[0]))
+    xs = tuple(
+        jnp.asarray(np.concatenate([v] * tile, axis=0)[:need]) for v in views
+    )
     dims = [int(d[0]) for d in dataset.dims]
     probe_hidden = tuple(C("probes.model_hidden_dim", (128,)))
     lr = C("optim.dataset_lr", {}).get(args.dataset, 3e-3)
