@@ -103,6 +103,21 @@ def build_inference_fn(
         from jax.sharding import NamedSharding, PartitionSpec
 
         row_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        # Replicate every captured weight tree across the mesh up front.
+        # Training may hand over tp-sharded backbone params (the 'model'
+        # axis split); serving a row-parallel program from sharded weights
+        # would make XLA insert all-gathers INSIDE the request path. One
+        # explicit reshard here keeps the serving program collective-free.
+        replicate = jax.jit(
+            lambda t: t, out_shardings=NamedSharding(mesh, PartitionSpec())
+        )
+        params = replicate(params)
+        if model_state is not None:
+            model_state = replicate(model_state)
+        if backbone_params is not None:
+            backbone_params = replicate(backbone_params)
+        if backbone_state is not None:
+            backbone_state = replicate(backbone_state)
 
     def infer(xs: Tuple[jax.Array, ...]):
         if mesh is not None:
@@ -134,7 +149,31 @@ def build_inference_fn(
             "aleatoric": aleatoric,
         }
 
-    return jax.jit(infer)
+    jitted = jax.jit(infer)
+    if mesh is None:
+        return jitted
+
+    # Mesh serving: place each request's rows as a GLOBAL row-sharded array
+    # BEFORE the jitted call. Required under multi-process JAX (a host-local
+    # array can't feed a program spanning non-addressable devices) and a
+    # zero-copy no-op when already placed. Batch sizes must divide by the
+    # 'data' axis (and, multi-host, by process count) — ServingEngine's
+    # ``divisor`` handles that. ``jit_fn`` keeps the raw jitted program
+    # reachable for jax.export (export_inference unwraps it).
+    import numpy as np
+
+    from ..parallel.distributed import place_global
+
+    row_spec = PartitionSpec("data")
+
+    def placed(xs):
+        xs = tuple(
+            place_global(np.asarray(x), mesh, row_spec) for x in xs
+        )
+        return jitted(xs)
+
+    placed.jit_fn = jitted
+    return placed
 
 
 class ServingEngine:
@@ -220,6 +259,7 @@ def export_inference(
     args = (
         tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in xs_example),
     )
+    infer_fn = getattr(infer_fn, "jit_fn", infer_fn)  # unwrap mesh placement
     exported = jax.export.export(
         infer_fn, platforms=tuple(platforms) if platforms else None
     )(*args)

@@ -277,11 +277,17 @@ def train(
     )
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.distributed import place_global
 
         n_dp = mesh.shape["data"]
-        row_sharding = NamedSharding(mesh, P("data"))
-        replicated_rows = NamedSharding(mesh, P())
+        # Row sharding must also divide over PROCESSES in the multi-host
+        # regime (place_global's host-block assembly); the mesh orders
+        # 'data' process-contiguously, and process_count divides n_dp, so
+        # padding to n_dp covers both.
+        pc = jax.process_count()
+        row_div = n_dp if n_dp % pc == 0 else n_dp * pc
 
         def place_rows(a):
             """Shard rows over 'data'; zero-pad to a shardable multiple.
@@ -289,20 +295,21 @@ def train(
             Pad rows are inert: the batch plan only ever gathers indices
             < n_train, so training math is unchanged.
             """
-            pad = (-a.shape[0]) % n_dp
+            pad = (-a.shape[0]) % row_div
             if pad:
                 a = jnp.concatenate(
                     [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
                 )
-            return jax.device_put(a, row_sharding)
+            return place_global(a, mesh, P("data"))
 
         data = jax.tree.map(place_rows, data)
         if val_data is not None:
             # val_fn consumes val_data wholesale (no mask), so padding would
             # corrupt the metrics: shard only when evenly divisible.
             val_data = jax.tree.map(
-                lambda a: jax.device_put(
-                    a, row_sharding if a.shape[0] % n_dp == 0 else replicated_rows
+                lambda a: place_global(
+                    a, mesh,
+                    P("data") if a.shape[0] % row_div == 0 else P(),
                 ),
                 val_data,
             )
@@ -315,10 +322,9 @@ def train(
             from ..parallel.mesh import param_sharding_rule
 
             rule = param_sharding_rule(tp_hidden_dim)
-            place = lambda a: jax.device_put(a, NamedSharding(mesh, rule(a)))
+            place = lambda a: place_global(a, mesh, rule(a))
         else:
-            replicated = NamedSharding(mesh, P())
-            place = lambda a: jax.device_put(a, replicated)
+            place = lambda a: place_global(a, mesh, P())
         params = jax.tree.map(place, params)
         if model_state is not None:
             model_state = jax.tree.map(place, model_state)

@@ -33,6 +33,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _prep_cpu_collectives() -> None:
+    """Before joining a CPU cluster: pin the cpu platform + gloo collectives.
+
+    A multi-process CPU runtime (the local test regime for the DCN layer —
+    see tests/test_multiprocess.py) needs a cross-process collectives
+    implementation; jaxlib ships gloo. Both config updates must land before
+    the first backend use. The platform re-pin also beats the axon
+    sitecustomize, which force-selects the TPU relay via jax.config (env
+    JAX_PLATFORMS alone is not enough — config wins over env).
+    """
+    plats = (os.environ.get("JAX_PLATFORMS") or "").split(",")[0].strip()
+    if plats.lower() != "cpu":
+        return
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -82,6 +101,7 @@ def initialize(
                 return jax.process_count() > 1
         except ImportError:
             pass
+        _prep_cpu_collectives()
         try:
             jax.distributed.initialize()  # argless: JAX pod auto-detection
         except RuntimeError as e:
@@ -100,6 +120,7 @@ def initialize(
     pid = process_id if process_id is not None else int(
         os.environ.get("JAX_PROCESS_ID", "0") or 0
     )
+    _prep_cpu_collectives()
     try:
         jax.distributed.initialize(
             coordinator_address=addr,
@@ -177,44 +198,51 @@ def host_local_block(arr, spec: P, process_id=None, num_processes=None):
     return arr[process_rows(arr.shape[0], process_id, num_processes)]
 
 
+def place_global(x, mesh: Mesh, spec: P):
+    """Place ONE global array on ``mesh`` under ``spec``, multi-process-safe.
+
+    Single process: plain sharded device_put (zero-copy reshard when the
+    value is already on device). Multi-process: each process extracts ITS
+    block (``host_local_block``) and the global array view is assembled via
+    ``jax.make_array_from_process_local_data`` with the true global shape —
+    no cross-host copy, and no device_put onto non-addressable devices.
+    Specs that shard only non-leading dims (e.g. the tensor-parallel
+    ``P(None, 'model')``) pass the full host value: the process's
+    addressable shards jointly cover it, which is exactly the layout
+    make_array_from_process_local_data expects.
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    arr = np.asarray(x)
+    if len(spec) and spec[0] is not None and arr.shape[0] % jax.process_count():
+        # ceil-partitioned host blocks would be unequal and
+        # make_array_from_process_local_data would fail with an opaque
+        # shape error deep inside JAX — fail loudly at the entry point
+        # instead (train_many checks divisibility by the mesh 'data'
+        # axis, but not by process count).
+        raise ValueError(
+            f"place_global: leading dim {arr.shape[0]} of a "
+            f"{spec}-sharded array must divide evenly over "
+            f"{jax.process_count()} processes; pad the batch/instance "
+            f"axis or use a replicated spec"
+        )
+    local = host_local_block(arr, spec)
+    return jax.make_array_from_process_local_data(
+        sh, np.ascontiguousarray(local), global_shape=arr.shape
+    )
+
+
 def shard_global(pytree, mesh: Mesh, spec: P):
     """Place GLOBAL pytrees on ``mesh`` under ``spec``, multi-process-safe.
 
     Callers always pass the full global arrays (every host materializes
-    the same values — cheap at this framework's KB-MB scales). Single
-    process: plain sharded device_put (zero-copy reshard when the value is
-    already on device). Multi-process: each process extracts ITS block
-    (``host_local_block``) and the global array view is assembled via
-    ``jax.make_array_from_process_local_data`` with the true global shape
-    — no cross-host copy, and no device_put onto non-addressable devices.
-    To avoid materializing the full array per host (huge corpora), load
-    only ``process_rows`` and call make_array_from_process_local_data
-    directly.
+    the same values — cheap at this framework's KB-MB scales); see
+    :func:`place_global` for the per-array regime dispatch. To avoid
+    materializing the full array per host (huge corpora), load only
+    ``process_rows`` and call make_array_from_process_local_data directly.
     """
-    sh = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sh), pytree)
-
-    def place(x):
-        arr = np.asarray(x)
-        if len(spec) and spec[0] is not None and arr.shape[0] % jax.process_count():
-            # ceil-partitioned host blocks would be unequal and
-            # make_array_from_process_local_data would fail with an opaque
-            # shape error deep inside JAX — fail loudly at the entry point
-            # instead (train_many checks divisibility by the mesh 'data'
-            # axis, but not by process count).
-            raise ValueError(
-                f"shard_global: leading dim {arr.shape[0]} of a "
-                f"{spec}-sharded array must divide evenly over "
-                f"{jax.process_count()} processes; pad the batch/instance "
-                f"axis or use a replicated spec"
-            )
-        local = host_local_block(arr, spec)
-        return jax.make_array_from_process_local_data(
-            sh, np.ascontiguousarray(local), global_shape=arr.shape
-        )
-
-    return jax.tree.map(place, pytree)
+    return jax.tree.map(lambda x: place_global(x, mesh, spec), pytree)
 
 
 def shard_instances_global(pytree, mesh: Mesh, axis: str = "data"):
