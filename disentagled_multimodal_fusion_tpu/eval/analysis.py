@@ -119,6 +119,15 @@ def evaluate_evidences(
     """Full evaluation given stacked evidences (N, V, C) and fused (N, C)."""
     v = evidences.shape[1]
     dev = jax.device_get(_eval_all(evidences, fused, target, num_classes))
+    return format_eval_result(dev, v, has_shared)
+
+
+def format_eval_result(dev, v: int, has_shared: bool) -> Dict[str, Any]:
+    """Host-side formatting of a fetched ``_eval_all`` result into the
+    reference's nested metrics dict (analysis.py:360-399 schema). Shared by
+    :func:`evaluate_evidences` and the one-program sweep cell
+    (core/sweep_cell.py), whose giant program computes the same ``_eval_all``
+    pytree for every model inside one jit."""
     fused_block = _to_py(dev["fused_block"])
     blocks = [jax.tree.map(lambda a: float(a[i]), dev["blocks"]) for i in range(v)]
     uncond, truecls = dev["pc"]

@@ -271,40 +271,17 @@ def run_condition(
     print(f"  {dataset_name}/{cond}/seed{seed} done in {time.time() - t0:.1f}s", flush=True)
 
 
-def run_condition_vmapped(
-    *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
-    fused_dmvae=True, noise=False, mesh=None, intermediate_fusions=(),
-    dtype=None,
-):
-    """Seed-vectorised variant of run_condition: all seeds of one
-    (dataset, condition) cell train as ONE vmapped program per model type
-    (core.train.train_many). Identical math per seed. Throughput is
-    regime-dependent (docs/PERF.md §3-4, measured): dispatch-bound probe
-    fits amortise per-op latency (~2x per seed at S=25); the HBM-bound
-    DMVAE fit moves S x the parameter traffic so its time scales ~linearly
-    — there the value is orchestration (one program, one compile, one set
-    of mesh collectives), not per-seed speedup."""
-    import jax.numpy as jnp  # noqa: F811 (keep local for clarity)
+def prepare_cell_data(*, C, seeds, dataset_name, conflict, noise, jnp, np):
+    """Per-seed splits (+ conflict/noise injection), stacked (S, n, D).
 
-    from ..core.checkpoint import save_checkpoint
-    from ..core.logging import log_training_csv
-    from ..core.tasks import embed_dataset
-    from ..core.train import train_many
+    Reference-identical split + injection streams (see run_condition);
+    shared by the --vmap-seeds and --one-program-cells paths.
+    Returns (xs_tr, xs_te, y_tr, y_te, dims, num_classes).
+    """
     from ..data.multiview import DATASET_REGISTRY
-    from ..eval.analysis import (
-        evaluate_subjective_model,
-        evaluate_subjective_model_with_shared,
-    )
 
-    (build_dmvae_task, build_probe_task, build_disentangled_probe_task,
-     build_late_fusion_task, _embed) = builders
-    t0 = time.time()
-    cond = "conflict" if conflict else ("noise" if noise else "normal")
-
-    # ---- per-seed splits (+ conflict injection), stacked (S, n, D) ----
     xs_tr_l, xs_te_l, y_tr_l, y_te_l = [], [], [], []
     for seed in seeds:
-        # reference-identical split + injection stream (see run_condition)
         np.random.seed(seed)
         dataset = DATASET_REGISTRY[dataset_name]()
         n = len(dataset)
@@ -337,6 +314,44 @@ def run_condition_vmapped(
                   for v in range(len(dims)))
     y_tr = jnp.asarray(np.stack(y_tr_l))
     y_te = jnp.asarray(np.stack(y_te_l))
+    return xs_tr, xs_te, y_tr, y_te, dims, num_classes
+
+
+def run_condition_vmapped(
+    *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
+    fused_dmvae=True, noise=False, mesh=None, intermediate_fusions=(),
+    dtype=None,
+):
+    """Seed-vectorised variant of run_condition: all seeds of one
+    (dataset, condition) cell train as ONE vmapped program per model type
+    (core.train.train_many). Identical math per seed. Throughput is
+    regime-dependent (docs/PERF.md §3-4, measured): dispatch-bound probe
+    fits amortise per-op latency (~2x per seed at S=25); the HBM-bound
+    DMVAE fit moves S x the parameter traffic so its time scales ~linearly
+    — there the value is orchestration (one program, one compile, one set
+    of mesh collectives), not per-seed speedup."""
+    import jax.numpy as jnp  # noqa: F811 (keep local for clarity)
+
+    from ..core.checkpoint import save_checkpoint
+    from ..core.logging import log_training_csv
+    from ..core.tasks import embed_dataset
+    from ..core.train import train_many
+    from ..data.multiview import DATASET_REGISTRY
+    from ..eval.analysis import (
+        evaluate_subjective_model,
+        evaluate_subjective_model_with_shared,
+    )
+
+    (build_dmvae_task, build_probe_task, build_disentangled_probe_task,
+     build_late_fusion_task, _embed) = builders
+    t0 = time.time()
+    cond = "conflict" if conflict else ("noise" if noise else "normal")
+
+    s_count = len(seeds)
+    xs_tr, xs_te, y_tr, y_te, dims, num_classes = prepare_cell_data(
+        C=C, seeds=seeds, dataset_name=dataset_name, conflict=conflict,
+        noise=noise, jnp=jnp, np=np,
+    )
     n_train = xs_tr[0].shape[1]
     batch_size = C("dataloader.batch_size", 100)
 
@@ -490,6 +505,188 @@ def run_condition_vmapped(
           f"{time.time() - t0:.1f}s", flush=True)
 
 
+def run_condition_onejit(
+    *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders,
+    rows_by_seed, fused_dmvae=True, noise=False, mesh=None,
+    intermediate_fusions=(), dtype=None,
+):
+    """ONE-program cell: the entire (dataset, condition) — backbone fit,
+    embeddings, all head fits, all evaluations, all seeds — as a single
+    jitted XLA program (core/sweep_cell.py). Bit-identical RNG streams and
+    math to run_condition_vmapped; only the program boundaries moved, so
+    per-fit dispatch and host syncs (the dominant residual cost, docs/
+    PERF.md §4) disappear entirely."""
+    from ..core.checkpoint import save_checkpoint
+    from ..core.logging import log_training_csv
+    from ..core.sweep_cell import CellJob, cell_rows, run_cell
+    from ..core.train import TrainResult
+
+    (build_dmvae_task, build_probe_task, build_disentangled_probe_task,
+     build_late_fusion_task, _embed) = builders
+    t0 = time.time()
+    cond = "conflict" if conflict else ("noise" if noise else "normal")
+
+    s_count = len(seeds)
+    xs_tr, xs_te, y_tr, y_te, dims, num_classes = prepare_cell_data(
+        C=C, seeds=seeds, dataset_name=dataset_name, conflict=conflict,
+        noise=noise, jnp=jnp, np=np,
+    )
+    n_train = xs_tr[0].shape[1]
+    batch_size = C("dataloader.batch_size", 100)
+
+    lr = C("optim.dataset_lr", {}).get(dataset_name, 3e-3)
+    probe_hidden = tuple(C("probes.model_hidden_dim", (128,)))
+    probe_dropout = C("probes.dropout_p", 0.1)
+    annealing_start = C("probes.annealing_start", 50)
+    probe_epochs = 2 if quick else C("probes.model_epochs", 200)
+    dmvae_epochs = 2 if quick else C("dmvae.num_epochs", 100)
+    embed_dim = C("dmvae.embed_dim", 200)
+    probe_input_dim = C("probes.input_dim", 200)
+
+    def stack_params(params_list):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+    from .common import cell_seed
+    seed_keys = [jax.random.PRNGKey(cell_seed(s, dataset_name, conflict)) for s in seeds]
+
+    # ---- backbone task, per seed (same rng derivation as the vmapped path)
+    dm = [
+        build_dmvae_task(
+            rng=jax.random.fold_in(k, 0), xs_sample=[x[0] for x in xs_tr],
+            output_dim=dims, dropout=C("dmvae.dropout", 0.0), a=C("dmvae.a", 1e-5),
+            hidden_dim=C("dmvae.hidden_dim", 512), embed_dim=embed_dim,
+            lr=C("dmvae.lr", 1e-4), num_epochs=dmvae_epochs,
+            fused_modalities=fused_dmvae,
+        )
+        for k in seed_keys
+    ]
+    model, _, bb_loss_fn, bb_opt, bb_state = dm[0]
+    if bb_state is not None:
+        raise ValueError(
+            "one-program cells require a stateless backbone; this config "
+            "carries BatchNorm feature encoders — use --vmap-seeds or the "
+            "sequential path"
+        )
+
+    # ---- head jobs (same order + rng derivations as the vmapped path) ----
+    def probe_builder(agg, fused):
+        def b(k):
+            return build_probe_task(
+                rng=k, num_modalities=len(dims), num_classes=num_classes,
+                input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
+                dropout=probe_dropout, annealing_start=annealing_start,
+                aggregation=agg, fused=fused, num_epochs=probe_epochs,
+            )
+        return b
+
+    def dis_builder(k):
+        return build_disentangled_probe_task(
+            rng=k, num_modalities=len(dims), num_classes=num_classes,
+            input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
+            dropout=probe_dropout, annealing_start=annealing_start,
+            num_epochs=probe_epochs,
+        )
+
+    def lf_builder(agg):
+        def b(k):
+            return build_late_fusion_task(
+                rng=k, output_dims=dims, num_classes=num_classes,
+                hidden_dim=probe_hidden, dropout=probe_dropout, lr=lr,
+                annealing_start=annealing_start, aggregation=agg, fused=1.0,
+            )
+        return b
+
+    specs = [
+        ("dmvae_dis", dis_builder, "probe", False),
+        ("dmvae_cml", probe_builder("cml", 1.0), "probe", True),
+        ("dmvae_joint", probe_builder("joint", 1.0), "probe", True),
+        ("dbf_fusion", lf_builder("dbf"), "raw", True),
+        ("cml_fusion", lf_builder("cml"), "raw", True),
+        ("avg_fusion", lf_builder("avg"), "raw", True),
+    ]
+    if intermediate_fusions:
+        from ..core.tasks import build_intermediate_fusion_task
+        from ..models.fusions import build_fusion
+
+        def imf_builder(fname):
+            def b(k):
+                return build_intermediate_fusion_task(
+                    rng=k, output_dims=dims, num_classes=num_classes,
+                    dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
+                    dtype=dtype, fusion=fname,
+                )
+            return b
+
+        for fname in intermediate_fusions:
+            jname = ("intermediate_fusion" if fname == "concat"
+                     else f"intermediate_{fname}")
+            try:
+                build_fusion(fname, dims)
+            except ValueError as e:
+                print(f"  [{dataset_name}] skipping {jname}: {e}", flush=True)
+                for s_ in seeds:
+                    rows_by_seed[s_][jname] = {"skipped": str(e)}
+                continue
+            specs.append((jname, imf_builder(fname), "raw", False))
+
+    jobs = []
+    for j, (name, builder, kind, shared_layout) in enumerate(specs):
+        tasks = [builder(jax.random.fold_in(k, 10 + j)) for k in seed_keys]
+        jobs.append(CellJob(
+            name=name, task=tasks[0],
+            params_stack=stack_params([t.params for t in tasks]),
+            rngs=jnp.stack([jax.random.fold_in(k, 100 + j) for k in seed_keys]),
+            kind=kind, epochs=probe_epochs, shared_layout=shared_layout,
+        ))
+
+    result = run_cell(
+        backbone_model=model,
+        bb_params_stack=stack_params([t[1] for t in dm]),
+        bb_loss_fn=bb_loss_fn, bb_optimizer=bb_opt, bb_epochs=dmvae_epochs,
+        bb_rngs=jnp.stack([jax.random.fold_in(k, 1) for k in seed_keys]),
+        jobs=jobs, xs_tr=xs_tr, xs_te=xs_te, y_tr=y_tr, y_te=y_te,
+        n_train=n_train, batch_size=batch_size, mesh=mesh,
+    )
+    jax.block_until_ready(result.backbone_train_loss)
+    t_run = time.time()
+    print(f"  [{dataset_name}/{cond}] one-program cell ({s_count} seeds x "
+          f"{len(jobs) + 1} fits) executed in {t_run - t0:.1f}s", flush=True)
+
+    # ---- host side: rows, checkpoints, CSV logs (same artifacts) ----
+    rows = cell_rows(jobs, result, y_te, seeds)
+    for i, seed in enumerate(seeds):
+        save_checkpoint(
+            f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
+            jax.tree.map(lambda a: a[i], result.backbone_params),
+            {"dataset": dataset_name, "seed": seed, "cond": cond}, wait=False,
+        )
+    for job in jobs:
+        out = result.jobs[job.name]
+        for s, seed in enumerate(seeds):
+            params_s = jax.tree.map(lambda a: a[s], out["params"])
+            model_name = (
+                f"{job.name}_fusion_ds{dataset_name}_seed{seed}"
+                + ("_conflict" if conflict else "_noise" if noise else "")
+            )
+            log_training_csv(model_name, TrainResult(
+                params=None, train_loss=out["train_loss"][s],
+                val_loss=out["val_loss"][s], val_acc=out["val_acc"][s],
+                final_lr=out["final_lr"][s]))
+            info = rows[int(seed)][job.name]
+            info["path"] = save_checkpoint(
+                f"checkpoints/{model_name}", params_s,
+                {"model": job.name, "dataset": dataset_name, "seed": seed},
+                wait=False,
+            )
+            rows_by_seed[seed][job.name] = info
+        accs = [rows_by_seed[s][job.name]["fused"]["accuracy"] for s in seeds]
+        print(f"  [{dataset_name}/{cond}] {job.name} x{s_count}: fused_acc "
+              f"{np.mean(accs):.4f} +/- {np.std(accs):.4f}", flush=True)
+    print(f"  {dataset_name}/{cond} ({s_count} seeds) one-program cell done "
+          f"in {time.time() - t0:.1f}s (run {t_run - t0:.1f}s, "
+          f"artifacts {time.time() - t_run:.1f}s)", flush=True)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--seeds", type=int, nargs="*", default=None)
@@ -517,6 +714,15 @@ def main(argv=None):
              "float-level parity pinned by tests/test_probe_megakernel.py). "
              "Sequential path only; applies to the probe fits (the DMVAE "
              "fit is HBM-bound and keeps the XLA program either way)",
+    )
+    parser.add_argument(
+        "--one-program-cells", action="store_true",
+        help="run each (dataset, condition) cell as ONE jitted XLA program: "
+             "backbone fit -> embeddings -> all head fits -> all "
+             "evaluations, seeds vmapped (core/sweep_cell.py). Same math "
+             "and RNG streams as --vmap-seeds with zero per-fit dispatch "
+             "or host syncs; the fastest full-sweep engine on TPU. "
+             "Stateless models only (the .mat UQ protocol qualifies)",
     )
     parser.add_argument(
         "--vmap-seeds", action="store_true",
@@ -605,11 +811,11 @@ def main(argv=None):
                 build_late_fusion_task, embed_dataset)
 
     seeds = args.seeds if args.seeds is not None else C("experiment.seeds", [0, 1, 2, 3, 4])
-    if args.backbone == "dssl" and args.vmap_seeds:
+    if args.backbone == "dssl" and (args.vmap_seeds or args.one_program_cells):
         parser.error("--backbone dssl runs the sequential path only "
                      "(the SSL backbone has no vmapped trainer; same "
                      "restriction as run_synthetic)")
-    if args.probe_engine == "megakernel" and args.vmap_seeds:
+    if args.probe_engine == "megakernel" and (args.vmap_seeds or args.one_program_cells):
         parser.error("--probe-engine megakernel runs the sequential path "
                      "only (train_many has no kernel program)")
     if args.probe_engine == "megakernel" and (args.data_parallel > 1
@@ -692,7 +898,9 @@ def main(argv=None):
         tmp.replace(args.rows_file)
 
     try:
-        if args.vmap_seeds:
+        if args.vmap_seeds or args.one_program_cells:
+            cell_runner = (run_condition_onejit if args.one_program_cells
+                           else run_condition_vmapped)
             for seed in seeds:
                 rows.setdefault(seed, {})
                 for c in args.conditions:
@@ -713,7 +921,7 @@ def main(argv=None):
                               f"(--rows-file), skipping", flush=True)
                         continue
                     rows_by_seed = {s: {} for s in seeds}
-                    run_condition_vmapped(
+                    cell_runner(
                         C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
                         quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                         rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
