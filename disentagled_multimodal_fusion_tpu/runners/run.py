@@ -653,6 +653,11 @@ def run_condition_onejit(
           f"{len(jobs) + 1} fits) executed in {t_run - t0:.1f}s", flush=True)
 
     # ---- host side: rows, checkpoints, CSV logs (same artifacts) ----
+    # ONE bulk device->host transfer of the whole cell result: the per-seed
+    # per-leaf slicing below then runs on numpy. Sliced device arrays would
+    # each pay a relay RTT (~28 ms, docs/PERF.md) — measured 62 s of
+    # artifact time per cell against 24 s of compute before this.
+    result = jax.device_get(result)
     rows = cell_rows(jobs, result, y_te, seeds)
     for i, seed in enumerate(seeds):
         save_checkpoint(
