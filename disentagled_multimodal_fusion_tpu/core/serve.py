@@ -33,6 +33,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.dirichlet import dirichlet_uncertainties
 
@@ -185,6 +186,11 @@ class ServingEngine:
     with copies of row 0 — row-independent in eval mode), calls the one
     compiled program for that bucket, and slices the padding back off.
     Requests larger than the top bucket run at the next multiple of it.
+
+    Returns host (numpy) arrays: pad/slice run in numpy on purpose —
+    eager jnp ops would silently compile one XLA program per distinct
+    request size (see __call__) — and the response pays one bulk
+    device->host transfer, which is where serving output ends up anyway.
     """
 
     def __init__(
@@ -215,27 +221,37 @@ class ServingEngine:
 
     def warmup(self, xs_sample: Sequence[jax.Array], buckets=None) -> None:
         """Pre-compile the given buckets (all by default) from one row."""
-        row = tuple(jnp.asarray(x)[:1] for x in xs_sample)
+        row = tuple(np.asarray(x)[:1] for x in xs_sample)
         for b in buckets or self.buckets:
             padded = tuple(
-                jnp.broadcast_to(x, (b, *x.shape[1:])) for x in row
+                np.broadcast_to(x, (b, *x.shape[1:])) for x in row
             )
             jax.block_until_ready(self.infer_fn(padded))
 
     def __call__(self, xs: Sequence[jax.Array]):
-        xs = tuple(jnp.asarray(x) for x in xs)
+        # Padding runs in NUMPY, deliberately: eager jnp concat/broadcast
+        # ops compile one tiny XLA program PER DISTINCT REQUEST SIZE
+        # (~0.8 s each on XLA:CPU — measured; request sizes are unbounded,
+        # so that's an unbounded compile-cache leak in the request path).
+        # numpy pads for free and the single device transfer below is of
+        # the static bucket shape the program was warmed up with.
+        xs = tuple(np.asarray(x) for x in xs)
         n = xs[0].shape[0]
         if n == 0:
             raise ValueError("empty batch")
         b = self.bucket_for(n)
         if b != n:
             xs = tuple(
-                jnp.concatenate(
-                    [x, jnp.broadcast_to(x[:1], (b - n, *x.shape[1:]))], axis=0
+                np.concatenate(
+                    [x, np.broadcast_to(x[:1], (b - n, *x.shape[1:]))], axis=0
                 )
                 for x in xs
             )
         out = self.infer_fn(xs)
+        # Responses land on the host (one bulk transfer), and the padding
+        # is sliced off in numpy — eager device slicing would compile one
+        # program per (bucket, n) pair, the same leak as above.
+        out = jax.device_get(out)
         if b != n:
             out = jax.tree.map(lambda a: a[:n], out)
         return out

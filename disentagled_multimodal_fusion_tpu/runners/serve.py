@@ -46,6 +46,7 @@ def _load(args, C):
 
     from ..core.checkpoint import restore_checkpoint
     from ..core.serve import build_inference_fn
+    from .evaluate import _restore_state
     from ..core.tasks import (
         build_disentangled_probe_task,
         build_dmvae_task,
@@ -70,17 +71,18 @@ def _load(args, C):
     lr = C("optim.dataset_lr", {}).get(args.dataset, 3e-3)
 
     if name.startswith("dmvae_"):
-        backbone, p0, _, _, _ = build_dmvae_task(
+        backbone, p0, _, _, bstats0 = build_dmvae_task(
             rng=jax.random.PRNGKey(0), xs_sample=xs, output_dim=dims,
             a=C("dmvae.a", 1e-5), hidden_dim=C("dmvae.hidden_dim", 512),
             embed_dim=C("dmvae.embed_dim", 200),
             fused_modalities=not args.no_fused_dmvae,
         )
-        bb_params = p0 if args.random_init else restore_checkpoint(
+        bb_ckpt = (
             args.dmvae_checkpoint
-            or f"checkpoints/dmvae_dataset{args.dataset}_seed{seed}_a1e-05_normal",
-            p0,
+            or f"checkpoints/dmvae_dataset{args.dataset}_seed{seed}_a1e-05_normal"
         )
+        bb_params = p0 if args.random_init else restore_checkpoint(bb_ckpt, p0)
+        bb_state = bstats0 if args.random_init else _restore_state(bb_ckpt, bstats0)
         kw = dict(
             rng=jax.random.PRNGKey(0), num_modalities=len(dims),
             num_classes=dataset.num_classes,
@@ -92,7 +94,7 @@ def _load(args, C):
         else:
             task = build_probe_task(**kw, aggregation=name.split("_")[1])
     else:
-        backbone = bb_params = None
+        backbone = bb_params = bb_state = None
         task = build_late_fusion_task(
             rng=jax.random.PRNGKey(0), output_dims=dims,
             num_classes=dataset.num_classes, hidden_dim=probe_hidden,
@@ -100,15 +102,17 @@ def _load(args, C):
             aggregation=name.split("_")[0],
         )
 
-    params = task.params
+    params, model_state = task.params, task.model_state
     if not args.random_init:
         ckpt = args.checkpoint or (
             f"checkpoints/{name}_fusion_ds{args.dataset}_seed{seed}"
         )
         params = restore_checkpoint(ckpt, task.params)
+        model_state = _restore_state(ckpt, task.model_state)
 
     infer = build_inference_fn(
-        task, params, backbone=backbone, backbone_params=bb_params
+        task, params, model_state=model_state,
+        backbone=backbone, backbone_params=bb_params, backbone_state=bb_state,
     )
     return infer, xs
 
@@ -135,6 +139,55 @@ def _bench_bucket(infer, xs, b, reps):
     }
 
 
+def _bench_daemon(infer, xs, args):
+    """Sustained concurrent-client load through the micro-batching daemon
+    (core/daemon.py): --daemon-clients threads issue back-to-back requests
+    of random size in [1, --daemon-max-rows] for --daemon-seconds; reports
+    end-to-end (queue + batch + device + slice) latency percentiles and
+    sustained rows/s. The interesting contrast with the per-bucket numbers
+    above: the daemon coalesces rider requests, so sustained throughput
+    tracks the LARGEST bucket's rows/s while each client still sees
+    single-request latency."""
+    import threading
+
+    import numpy as np
+
+    from ..core.daemon import ServingDaemon
+    from ..core.serve import ServingEngine
+
+    engine = ServingEngine(infer, buckets=sorted(args.buckets))
+    engine.warmup(xs)
+    # clients slice request rows out of the corpus: keep it numpy so the
+    # slicing is free (eager device slicing compiles per distinct shape)
+    xs = tuple(np.asarray(x) for x in xs)
+    stop = time.perf_counter() + args.daemon_seconds
+    done_rows = [0] * args.daemon_clients
+
+    def client(cid):
+        rng = np.random.RandomState(cid)
+        while time.perf_counter() < stop:
+            n = int(rng.randint(1, args.daemon_max_rows + 1))
+            daemon.infer(tuple(x[:n] for x in xs))
+            done_rows[cid] += n
+
+    with ServingDaemon(engine, max_delay_ms=args.daemon_delay_ms) as daemon:
+        t0 = time.perf_counter()
+        ts = [threading.Thread(target=client, args=(i,))
+              for i in range(args.daemon_clients)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        elapsed = time.perf_counter() - t0
+        st = daemon.stats()
+    st.update(
+        clients=args.daemon_clients,
+        max_delay_ms=args.daemon_delay_ms,
+        seconds=round(elapsed, 2),
+        sustained_rows_per_s=round(sum(done_rows) / elapsed, 1),
+        sustained_requests_per_s=round(st["requests"] / elapsed, 1),
+    )
+    return st
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
@@ -150,11 +203,22 @@ def main(argv=None):
                              "per-modality DMVAE (run.py --no-fused-dmvae)")
     parser.add_argument("--random-init", action="store_true",
                         help="skip checkpoint restore (program-speed profile)")
-    parser.add_argument("--buckets", type=int, nargs="*",
+    parser.add_argument("--buckets", type=int, nargs="+",
                         default=[1, 8, 64, 256])
     parser.add_argument("--reps", type=int, default=30)
     parser.add_argument("--export-dir", default=None,
                         help="write one jax.export artifact per bucket here")
+    parser.add_argument("--daemon", action="store_true",
+                        help="also run the micro-batching daemon load test "
+                             "(concurrent clients through core/daemon.py; "
+                             "sustained throughput + tail latency)")
+    parser.add_argument("--daemon-clients", type=int, default=8)
+    parser.add_argument("--daemon-seconds", type=float, default=10.0)
+    parser.add_argument("--daemon-max-rows", type=int, default=64,
+                        help="each client request draws its row count "
+                             "uniformly from [1, this]")
+    parser.add_argument("--daemon-delay-ms", type=float, default=2.0,
+                        help="daemon flush deadline (see core/daemon.py)")
     args = parser.parse_args(argv)
 
     configure()
@@ -166,6 +230,7 @@ def main(argv=None):
     infer, xs = _load(args, C)
 
     rows = [_bench_bucket(infer, xs, b, args.reps) for b in sorted(args.buckets)]
+    daemon_stats = _bench_daemon(infer, xs, args) if args.daemon else None
 
     exported = []
     if args.export_dir:
@@ -187,6 +252,7 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
         "random_init": bool(args.random_init),
         "buckets": rows,
+        "daemon": daemon_stats,
         "exported": exported,
     }
     print(json.dumps(report, indent=1))

@@ -157,6 +157,167 @@ def test_default_buckets_sorted():
     assert DEFAULT_BUCKETS == tuple(sorted(DEFAULT_BUCKETS))
 
 
+def test_export_replays_without_package(tmp_path, views, probe_setup):
+    """The .stablehlo artifact must replay in an interpreter that NEVER
+    imports this package — the 'hand it to a serving fleet' claim of
+    core/serve.py: program + weights are self-contained."""
+    import os
+    import subprocess
+    import sys
+
+    backbone, bb_params, task = probe_setup
+    infer = build_inference_fn(
+        task, task.params, backbone=backbone, backbone_params=bb_params
+    )
+    xs4 = tuple(x[:4] for x in views)
+    art = tmp_path / "probe_b4.stablehlo"
+    export_inference(infer, xs4, str(art))
+    direct = jax.device_get(infer(xs4))
+    np.savez(
+        tmp_path / "io.npz",
+        x0=np.asarray(xs4[0]), x1=np.asarray(xs4[1]),
+        fused=direct["fused_evidence"], probs=direct["probs"],
+    )
+    script = f"""
+import sys
+import numpy as np
+import jax
+io = np.load({str(tmp_path / "io.npz")!r})
+exported = jax.export.deserialize(open({str(art)!r}, 'rb').read())
+out = exported.call((io['x0'], io['x1']))
+np.testing.assert_allclose(out['fused_evidence'], io['fused'], rtol=1e-5, atol=1e-6)
+np.testing.assert_allclose(out['probs'], io['probs'], rtol=1e-5, atol=1e-6)
+bad = [m for m in sys.modules if 'disentagled' in m]
+assert not bad, f'package leaked into the replay interpreter: {{bad}}'
+print('REPLAY_OK')
+"""
+    # A TPU-relay sitecustomize (when present) force-registers a tpu
+    # backend in every interpreter; drop its gate var so the replay
+    # subprocess is a plain CPU jax matching the exported platform.
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "REPLAY_OK" in proc.stdout
+
+
+# ---- ServingDaemon (core/daemon.py): the micro-batching front ----------
+
+
+def _toy_engine(calls=None, delay=0.0):
+    from disentagled_multimodal_fusion_tpu.core.serve import ServingEngine
+
+    def fn(xs):
+        if calls is not None:
+            calls.append(int(xs[0].shape[0]))
+        if delay:
+            import time
+
+            time.sleep(delay)
+        return {"y": np.asarray(xs[0]) * 2.0, "s": np.asarray(xs[0]).sum(1)}
+
+    return ServingEngine(fn, buckets=(8, 16))
+
+
+def test_daemon_matches_direct():
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+
+    engine = _toy_engine()
+    with ServingDaemon(engine, max_delay_ms=5.0) as d:
+        xs = [np.random.RandomState(i).randn(i + 1, 6).astype(np.float32)
+              for i in range(5)]
+        futs = [d.submit((x,)) for x in xs]
+        for x, f in zip(xs, futs):
+            out = f.result(timeout=30)
+            assert out["y"].shape == x.shape
+            np.testing.assert_allclose(out["y"], x * 2.0, rtol=1e-6)
+            np.testing.assert_allclose(out["s"], x.sum(1), rtol=1e-5)
+
+
+def test_daemon_coalesces_to_bucket():
+    """4x 2-row requests under a long deadline flush EARLY the moment the
+    8-row bucket fills, and ride ONE device call."""
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+
+    calls = []
+    engine = _toy_engine(calls, delay=0.05)
+    with ServingDaemon(engine, max_delay_ms=10_000.0, max_batch=8) as d:
+        # first request occupies the dispatcher (50 ms engine sleep);
+        # the next four queue behind it and fill bucket 8 exactly
+        first = d.submit((np.ones((8, 4), np.float32),))
+        futs = [d.submit((np.full((2, 4), i, np.float32),)) for i in range(4)]
+        first.result(timeout=30)
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(
+                f.result(timeout=30)["y"], np.full((2, 4), 2.0 * i)
+            )
+    assert calls[0] == 8
+    # the four riders coalesced (one call of 8 rows), not four calls
+    assert calls[1:] == [8], calls
+
+
+def test_daemon_deadline_flushes_partial():
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+
+    calls = []
+    with ServingDaemon(_toy_engine(calls), max_delay_ms=30.0) as d:
+        out = d.infer((np.ones((3, 4), np.float32),))  # 3 < bucket 8
+        np.testing.assert_allclose(out["y"], 2.0 * np.ones((3, 4)))
+    assert calls == [8]  # padded to the bucket, one call
+
+
+def test_daemon_concurrent_clients():
+    import threading
+
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+
+    engine = _toy_engine()
+    errs = []
+
+    def client(d, cid):
+        try:
+            rng = np.random.RandomState(cid)
+            for _ in range(10):
+                x = rng.randn(1 + cid % 4, 5).astype(np.float32)
+                np.testing.assert_allclose(
+                    d.infer((x,))["y"], x * 2.0, rtol=1e-6
+                )
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    with ServingDaemon(engine, max_delay_ms=1.0) as d:
+        ts = [threading.Thread(target=client, args=(d, i)) for i in range(6)]
+        [t.start() for t in ts]
+        [t.join(60) for t in ts]
+        st = d.stats()
+    assert not errs
+    assert st["requests"] == 60
+    assert st["latency_ms"]["p99"] is not None
+
+
+def test_daemon_error_propagates_and_close():
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+    from disentagled_multimodal_fusion_tpu.core.serve import ServingEngine
+
+    def boom(xs):
+        raise RuntimeError("engine down")
+
+    d = ServingDaemon(ServingEngine(boom, buckets=(4,)), max_delay_ms=1.0)
+    f = d.submit((np.ones((2, 3), np.float32),))
+    with pytest.raises(RuntimeError, match="engine down"):
+        f.result(timeout=30)
+    d.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        d.submit((np.ones((1, 3), np.float32),))
+    with pytest.raises(ValueError, match="rows"):
+        ServingDaemon(_toy_engine()).submit(
+            (np.ones((2, 3)), np.ones((3, 3)))
+        )
+
+
 def test_mesh_sharded_serving_matches_single_device(views, probe_setup):
     from disentagled_multimodal_fusion_tpu.parallel.mesh import make_mesh
 
