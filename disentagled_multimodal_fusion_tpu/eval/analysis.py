@@ -22,6 +22,26 @@ import pandas as pd
 from ..ops.dirichlet import dirichlet_uncertainties
 
 
+def reliability_bins(
+    probs: jax.Array, target: jax.Array, n_bins: int = 15
+):
+    """Per-bin (count, accuracy, mean confidence) for a reliability diagram.
+
+    Equal-width top-label confidence bins, right-closed like
+    torchmetrics/netcal. Returns a dict of three (n_bins,) arrays; ECE is
+    their count-weighted |acc - conf| sum (:func:`expected_calibration_error`).
+    """
+    conf = jnp.max(probs, axis=-1)
+    correct = (jnp.argmax(probs, axis=-1) == target).astype(jnp.float32)
+    edges = jnp.linspace(0.0, 1.0, n_bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, conf, side="left") - 1, 0, n_bins - 1)
+    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
+    acc_b = jnp.sum(onehot * correct[:, None], axis=0) / jnp.maximum(counts, 1.0)
+    conf_b = jnp.sum(onehot * conf[:, None], axis=0) / jnp.maximum(counts, 1.0)
+    return {"count": counts, "accuracy": acc_b, "confidence": conf_b}
+
+
 def expected_calibration_error(
     probs: jax.Array, target: jax.Array, n_bins: int = 15
 ) -> jax.Array:
@@ -31,16 +51,52 @@ def expected_calibration_error(
     asking for ECE parity); probabilities for evidential models are the
     Dirichlet means alpha / S.
     """
+    b = reliability_bins(probs, target, n_bins)
+    return jnp.sum(
+        b["count"] / probs.shape[0] * jnp.abs(b["accuracy"] - b["confidence"])
+    )
+
+
+RC_COVERAGE_GRID = tuple(round(0.05 * i, 2) for i in range(1, 21))  # 0.05..1.0
+
+
+def risk_coverage(probs: jax.Array, target: jax.Array):
+    """Selective-prediction risk-coverage summary (NEW vs the reference).
+
+    Rank test rows by top-label confidence (descending); covering the
+    top-c fraction and abstaining on the rest gives selective risk
+    risk(c) = error rate within the covered set. Returns:
+
+    - ``risk``: risk at each coverage in :data:`RC_COVERAGE_GRID`
+      (the plot curve; risk at coverage 1.0 == 1 - accuracy),
+    - ``aurc``: area under the full n-point risk-coverage curve (mean
+      selective risk over all cutoffs — the standard scalar),
+    - ``risk_at_50/80/90``: operating-point scalars for the report.
+
+    Ties in confidence resolve by sort order (stable, matching the usual
+    numpy/sklearn transcription). All inside jit: one sort + one cumsum.
+    """
+    n = probs.shape[0]
     conf = jnp.max(probs, axis=-1)
     correct = (jnp.argmax(probs, axis=-1) == target).astype(jnp.float32)
-    edges = jnp.linspace(0.0, 1.0, n_bins + 1)
-    # bin index: right-closed bins like torchmetrics/netcal
-    idx = jnp.clip(jnp.searchsorted(edges, conf, side="left") - 1, 0, n_bins - 1)
-    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)
-    counts = jnp.sum(onehot, axis=0)
-    acc_b = jnp.sum(onehot * correct[:, None], axis=0) / jnp.maximum(counts, 1.0)
-    conf_b = jnp.sum(onehot * conf[:, None], axis=0) / jnp.maximum(counts, 1.0)
-    return jnp.sum(counts / probs.shape[0] * jnp.abs(acc_b - conf_b))
+    order = jnp.argsort(-conf, stable=True)
+    err_sorted = 1.0 - correct[order]
+    cum_err = jnp.cumsum(err_sorted) / jnp.arange(1, n + 1, dtype=jnp.float32)
+    grid = jnp.asarray(RC_COVERAGE_GRID)
+    # row index covering fraction c: ceil(c*n) - 1
+    idx = jnp.clip(jnp.ceil(grid * n).astype(jnp.int32) - 1, 0, n - 1)
+    risk_grid = cum_err[idx]
+
+    def at(c):
+        return cum_err[jnp.clip(jnp.int32(np.ceil(c * n)) - 1, 0, n - 1)]
+
+    return {
+        "risk": risk_grid,
+        "aurc": jnp.mean(cum_err),
+        "risk_at_50": at(0.5),
+        "risk_at_80": at(0.8),
+        "risk_at_90": at(0.9),
+    }
 
 
 @partial(jax.jit, static_argnames=("num_classes",))
@@ -97,6 +153,8 @@ def _eval_all(evidences: jax.Array, fused: jax.Array, target: jax.Array,
     host transfer per model eval, vs ~2V jit calls and ~10V per-scalar
     device syncs — on the relay-attached bench TPU each sync is a ~30 ms
     round-trip, which made scalar fetching the dominant eval cost."""
+    f_alphas = fused.astype(jnp.float32) + 1.0
+    f_probs = f_alphas / jnp.sum(f_alphas, axis=-1, keepdims=True)
     return {
         "fused_block": _block_metrics(fused, target, num_classes),
         "blocks": jax.vmap(
@@ -106,6 +164,10 @@ def _eval_all(evidences: jax.Array, fused: jax.Array, target: jax.Array,
             lambda ev: _per_class_evidence(ev, target, num_classes), in_axes=1
         )(evidences),
         "f_pc": _per_class_evidence(fused, target, num_classes),
+        # UQ reporting depth (fused head only): reliability-diagram bins
+        # and the selective-prediction risk-coverage summary
+        "f_rel": reliability_bins(f_probs, target),
+        "f_rc": risk_coverage(f_probs, target),
     }
 
 
@@ -129,6 +191,14 @@ def format_eval_result(dev, v: int, has_shared: bool) -> Dict[str, Any]:
     (core/sweep_cell.py), whose giant program computes the same ``_eval_all``
     pytree for every model inside one jit."""
     fused_block = _to_py(dev["fused_block"])
+    # UQ depth keys are absent from rows produced before round 5 — the
+    # flatteners and plotters treat them as optional for that reason.
+    if "f_rel" in dev:
+        fused_block["reliability"] = _to_py(dev["f_rel"])
+    if "f_rc" in dev:
+        rc = _to_py(dev["f_rc"])
+        rc["coverage"] = list(RC_COVERAGE_GRID)
+        fused_block["risk_coverage"] = rc
     blocks = [jax.tree.map(lambda a: float(a[i]), dev["blocks"]) for i in range(v)]
     uncond, truecls = dev["pc"]
     f_unc, f_tc = dev["f_pc"]
@@ -225,6 +295,18 @@ def _add_block(row: dict, prefix: str, block) -> None:
     for k in ["evidence_mean", "epistemic_mean", "aleatoric_mean"]:
         if k in inc:
             row[f"{prefix}incorrect_only_{k}"] = float(inc[k])
+    rc = block.get("risk_coverage")
+    if isinstance(rc, dict):
+        for k in ["aurc", "risk_at_50", "risk_at_80", "risk_at_90"]:
+            row[f"{prefix}{k}"] = float(rc[k])
+    rel = block.get("reliability")
+    if isinstance(rel, dict):
+        for k, (cnt, acc, conf) in enumerate(
+            zip(rel["count"], rel["accuracy"], rel["confidence"])
+        ):
+            row[f"{prefix}rel_bin{k:02d}_count"] = float(cnt)
+            row[f"{prefix}rel_bin{k:02d}_acc"] = float(acc)
+            row[f"{prefix}rel_bin{k:02d}_conf"] = float(conf)
 
 
 def _flatten_common(row: dict, sample_info: Dict[str, Any]) -> dict:

@@ -1032,6 +1032,17 @@ def write_sweep_report(rows, excel_path):
         },
         excel_path,
     )
+    from pathlib import Path
+
+    from ..core.artifacts import artifact_path
+    from ..eval.uq_plots import write_uq_plots
+
+    plots = write_uq_plots(
+        rows, artifact_path(Path(excel_path).parent / "uq_plots")
+    )
+    if plots:
+        print(f"  wrote {len(plots)} UQ figures -> "
+              f"{Path(plots[0]).parent}", flush=True)
     return df
 
 

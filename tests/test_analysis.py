@@ -116,6 +116,8 @@ def test_evaluate_evidences_matches_streaming_with_shared():
     fused = ev.sum(1)
     y = RNG.integers(0, c, b)
     ours = evaluate_evidences(jnp.asarray(ev), jnp.asarray(fused), jnp.asarray(y), c, True)
+    # round-5 UQ-depth extras have no reference counterpart (tested below)
+    ours["fused"].pop("reliability"), ours["fused"].pop("risk_coverage")
     ref = _streaming_reference(ev, fused, y, c, True)
     _assert_close(ours, ref)
 
@@ -126,6 +128,7 @@ def test_evaluate_evidences_matches_streaming_no_shared():
     fused = ev.mean(1)
     y = RNG.integers(0, c, b)
     ours = evaluate_evidences(jnp.asarray(ev), jnp.asarray(fused), jnp.asarray(y), c, False)
+    ours["fused"].pop("reliability"), ours["fused"].pop("risk_coverage")
     ref = _streaming_reference(ev, fused, y, c, False)
     _assert_close(ours, ref)
 
@@ -145,9 +148,98 @@ def test_flatten_columns_schema():
         "fused_per_class_evidence_true_class_3",
         "shared_per_class_evidence_class_0",
         "view_1_per_class_evidence_true_class_2",
+        # round-5 UQ depth (fused head only)
+        "fused_aurc", "fused_risk_at_50", "fused_risk_at_80",
+        "fused_risk_at_90", "fused_rel_bin00_count", "fused_rel_bin14_acc",
+        "fused_rel_bin07_conf",
     ]:
         assert col in row, col
+    # per-view blocks do NOT get the 45-column reliability expansion
+    assert "view_0_aurc" not in row
+    assert "view_0_rel_bin00_count" not in row
     df = build_metrics_dataframe({0: {50: {"m": info}}})
     assert list(df.columns[:3]) == ["seed", "dep", "model"]
     df2 = build_metrics_dataframe_datasets({0: {"Normal": {"CUB": {"m": info}}}})
     assert list(df2.columns[:4]) == ["seed", "type", "dataset", "model"]
+
+
+def test_risk_coverage_vs_numpy_transcription():
+    """risk_coverage (one sort + cumsum inside jit) vs a direct numpy
+    selective-prediction transcription."""
+    from disentagled_multimodal_fusion_tpu.eval.analysis import (
+        RC_COVERAGE_GRID,
+        risk_coverage,
+    )
+
+    n, c = 97, 5
+    probs = RNG.random((n, c)).astype(np.float32)
+    probs /= probs.sum(1, keepdims=True)
+    y = RNG.integers(0, c, n)
+    out = {k: np.asarray(v) for k, v in
+           risk_coverage(jnp.asarray(probs), jnp.asarray(y)).items()}
+
+    conf = probs.max(1)
+    correct = (probs.argmax(1) == y).astype(np.float64)
+    order = np.argsort(-conf, kind="stable")
+    err = 1.0 - correct[order]
+    cum = np.cumsum(err) / np.arange(1, n + 1)
+    np.testing.assert_allclose(out["aurc"], cum.mean(), rtol=1e-6)
+    for cov, got in zip(RC_COVERAGE_GRID, out["risk"]):
+        k = max(1, int(np.ceil(cov * n)))
+        np.testing.assert_allclose(got, cum[k - 1], rtol=1e-6, err_msg=str(cov))
+    for cov, key in [(0.5, "risk_at_50"), (0.8, "risk_at_80"),
+                     (0.9, "risk_at_90")]:
+        k = int(np.ceil(cov * n))
+        np.testing.assert_allclose(out[key], cum[k - 1], rtol=1e-6)
+    # coverage=1.0 risk is exactly the error rate
+    np.testing.assert_allclose(out["risk"][-1], 1.0 - correct.mean(), rtol=1e-6)
+
+
+def test_reliability_bins_consistent_with_ece():
+    from disentagled_multimodal_fusion_tpu.eval.analysis import (
+        expected_calibration_error,
+        reliability_bins,
+    )
+
+    n, c = 64, 4
+    probs = RNG.random((n, c)).astype(np.float32)
+    probs /= probs.sum(1, keepdims=True)
+    y = RNG.integers(0, c, n)
+    b = {k: np.asarray(v) for k, v in
+         reliability_bins(jnp.asarray(probs), jnp.asarray(y)).items()}
+    assert b["count"].sum() == n
+    ece = float(expected_calibration_error(jnp.asarray(probs), jnp.asarray(y)))
+    manual = float(np.sum(
+        b["count"] / n * np.abs(b["accuracy"] - b["confidence"])))
+    np.testing.assert_allclose(ece, manual, rtol=1e-6)
+    # occupied bins carry confidences inside their edges
+    occupied = b["count"] > 0
+    assert np.all(b["confidence"][occupied] >= 0.0)
+    assert np.all(b["confidence"][occupied] <= 1.0)
+
+
+def test_uq_plots_artifact(tmp_path):
+    """write_uq_plots renders one SVG per (condition, dataset) cell from
+    the nested sweep-row layout, and skips pre-round-5 rows without the
+    UQ-depth entries."""
+    from disentagled_multimodal_fusion_tpu.eval.uq_plots import write_uq_plots
+
+    b, v, c = 12, 3, 4
+    ev = RNG.random((b, v, c)).astype(np.float32)
+    y = RNG.integers(0, c, b)
+    info = evaluate_evidences(
+        jnp.asarray(ev), jnp.asarray(ev.sum(1)), jnp.asarray(y), c, True
+    )
+    legacy = {"fused": {"accuracy": 0.5}}  # pre-round-5 row: no reliability
+    rows = {
+        1: {"normal": {"CUB": {"dmvae_cml": info, "old_model": legacy}},
+            "conflict": {"CUB": {"avg_fusion": info}}},
+        2: {"normal": {"CUB": {"dmvae_cml": info}}},
+    }
+    written = write_uq_plots(rows, tmp_path / "plots")
+    names = sorted(p.split("/")[-1] for p in written)
+    assert names == ["conflict_CUB_uq.svg", "normal_CUB_uq.svg"]
+    for p in written:
+        body = open(p).read()
+        assert "<svg" in body
+        assert "Risk-coverage" in body or "Risk" in body
