@@ -347,6 +347,56 @@ def bench_torch(xs_np, dims) -> float:
     return per_epoch * 1000.0
 
 
+def bench_onejit_cell() -> dict | None:
+    """Time one full (HandWritten, Normal) 5-seed one-program sweep cell
+    through the REAL CLI (run.py --one-program-cells): backbone fit ->
+    embeddings -> 6 head fits -> 6 full evaluations, vmapped over seeds,
+    as ONE XLA program (core/sweep_cell.py). Measures the product path in
+    a subprocess (artifacts to a temp dir) and parses the runner's own
+    timing lines. Compile is served by the persistent cache
+    (core/setup.py) when warm. Returns None on any failure — the field is
+    informative, not the headline."""
+    import os
+    import re
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="dmf_bench_cell_") as tmp:
+        env = dict(os.environ, DMF_ARTIFACT_ROOT=tmp)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m",
+                 "disentagled_multimodal_fusion_tpu.runners.run",
+                 "--datasets", "HandWritten", "--conditions", "Normal",
+                 "--seeds", "1", "2", "3", "4", "5",
+                 "--one-program-cells", "--skip-report",
+                 "--rows-file", f"{tmp}/rows.json"],
+                capture_output=True, text=True, timeout=1200, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            _log("onejit cell bench timed out")
+            return None
+    if proc.returncode != 0:
+        _log(f"onejit cell bench failed rc={proc.returncode}: "
+             f"{proc.stdout[-500:]}{proc.stderr[-500:]}")
+        return None
+    m_run = re.search(r"executed in ([0-9.]+)s", proc.stdout)
+    m_all = re.search(r"cell done in ([0-9.]+)s \(run [0-9.]+s, "
+                      r"artifacts ([0-9.]+)s\)", proc.stdout)
+    if not (m_run and m_all):
+        _log(f"onejit cell bench: timing lines not found in: {proc.stdout[-400:]}")
+        return None
+    out = {
+        "seeds": 5, "fits": 7,
+        "execute_s": float(m_run.group(1)),
+        "artifacts_s": float(m_all.group(2)),
+        "total_s": float(m_all.group(1)),
+    }
+    _log(f"one-program cell (HandWritten, 5 seeds x 7 fits): "
+         f"execute {out['execute_s']:.1f}s, artifacts {out['artifacts_s']:.1f}s")
+    return out
+
+
 def _wait_for_backend(max_tries: int | None = None, sleep_s: int | None = None) -> None:
     """Survive a transient TPU-relay outage at bench time.
 
@@ -410,6 +460,7 @@ def main():
     bf16_ms, _, bf16_compile_s = bench_jax(xs_np, dims, dtype="bfloat16")
     vmap_ms, vmap_flops = bench_jax_vmapped(xs_np, dims)
     probe_ms, probe_vm_ms, probe_mk_ms = bench_jax_probe()
+    onejit_cell = None if cpu_fallback else bench_onejit_cell()
     # sample host load BEFORE and AFTER the torch baseline: the 1-min
     # loadavg is backward-looking, so the pre-sample reflects the jax
     # benches and only the post-sample can see load that started during
@@ -454,6 +505,10 @@ def main():
         "probe_megakernel_epoch_ms": (
             round(probe_mk_ms, 3) if probe_mk_ms else None
         ),
+        # round-5 sweep engine: a whole (dataset, condition) 5-seed x
+        # 7-fit cell as ONE XLA program (core/sweep_cell.py), measured
+        # through the real CLI; null if the subprocess fails
+        "one_program_cell": onejit_cell,
         "note": (
             "headline value uses the parity-first default "
             "(jax_default_matmul_precision=high: 3-pass bf16 synthesis — "

@@ -57,9 +57,13 @@ def child(volume: int) -> None:
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
-    devs = np.array(jax.devices()).reshape(8)
+    assert len(jax.devices()) >= 8, (
+        f"need the 8-device virtual CPU mesh, got {jax.devices()} — "
+        "run via the parent mode, which strips the TPU-relay env"
+    )
+    devs = np.array(jax.devices()[:8]).reshape(8)
     mesh = Mesh(devs, ("d",))
     print(f"[child] jax {jax.__version__} devices={len(jax.devices())} "
           f"target={volume} programs", flush=True)
@@ -119,10 +123,14 @@ def parent(volumes, timeout: float) -> int:
     }
     for v in volumes:
         print(f"[parent] spawning child with {v} programs ...", flush=True)
+        env = {**os.environ, **ENV}
+        # a TPU-relay sitecustomize (when present) force-registers its
+        # backend regardless of JAX_PLATFORMS; drop its gate var so the
+        # child is the plain XLA:CPU jax the suite runs on
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         proc = subprocess.run(
             [sys.executable, __file__, "--child", str(v)],
-            env={**os.environ, **ENV},
-            capture_output=True, text=True, timeout=timeout,
+            env=env, capture_output=True, text=True, timeout=timeout,
         )
         sig = -proc.returncode if proc.returncode < 0 else None
         print(f"[parent] volume={v} rc={proc.returncode}"
