@@ -250,8 +250,17 @@ class ServingEngine:
         out = self.infer_fn(xs)
         # Responses land on the host (one bulk transfer), and the padding
         # is sliced off in numpy — eager device slicing would compile one
-        # program per (bucket, n) pair, the same leak as above.
-        out = jax.device_get(out)
+        # program per (bucket, n) pair, the same leak as above. Exception:
+        # under multi-process JAX the outputs are GLOBAL arrays spanning
+        # non-addressable devices, which device_get refuses — those stay
+        # on device (each process consumes its own shards; the
+        # per-request-size compile concern doesn't apply to that
+        # distributed serving leg).
+        if all(
+            getattr(leaf, "is_fully_addressable", True)
+            for leaf in jax.tree.leaves(out)
+        ):
+            out = jax.device_get(out)
         if b != n:
             out = jax.tree.map(lambda a: a[:n], out)
         return out
