@@ -108,13 +108,24 @@ def write_uq_plots(rows, outdir, fmt: str = "svg") -> List[str]:
         for model in order:
             seeds = models[model]
             c = _color(model)
-            conf = _mean_over_seeds(seeds, ["reliability", "confidence"])
-            acc = _mean_over_seeds(seeds, ["reliability", "accuracy"])
-            cnt = _mean_over_seeds(seeds, ["reliability", "count"])
-            if conf is not None:
+            # Count-weighted seed averaging: an empty bin reports acc=0 /
+            # conf=0, so a plain mean across seeds drags occupied bins
+            # toward zero wherever any seed left the bin empty (renders as
+            # zig-zags). Weighting by per-seed bin count uses exactly the
+            # rows that landed in the bin.
+            cnts = [np.asarray(s["reliability"]["count"], dtype=np.float64)
+                    for s in seeds if "reliability" in s]
+            if cnts:
+                cnt = np.sum(cnts, axis=0)
+                w_acc = np.sum([c_ * np.asarray(s["reliability"]["accuracy"])
+                                for c_, s in zip(cnts, seeds)], axis=0)
+                w_conf = np.sum([c_ * np.asarray(s["reliability"]["confidence"])
+                                 for c_, s in zip(cnts, seeds)], axis=0)
                 mask = cnt > 0  # empty bins carry no calibration signal
-                ax_rel.plot(conf[mask], acc[mask], color=c, linewidth=2.0,
-                            marker="o", markersize=4.5, label=model, zorder=3)
+                safe = np.maximum(cnt, 1.0)
+                ax_rel.plot((w_conf / safe)[mask], (w_acc / safe)[mask],
+                            color=c, linewidth=2.0, marker="o",
+                            markersize=4.5, label=model, zorder=3)
             cov = _mean_over_seeds(seeds, ["risk_coverage", "coverage"])
             risk = _mean_over_seeds(seeds, ["risk_coverage", "risk"])
             if cov is not None:

@@ -508,14 +508,22 @@ def run_condition_vmapped(
 def run_condition_onejit(
     *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders,
     rows_by_seed, fused_dmvae=True, noise=False, mesh=None,
-    intermediate_fusions=(), dtype=None,
+    intermediate_fusions=(), dtype=None, defer_artifacts=False,
 ):
     """ONE-program cell: the entire (dataset, condition) — backbone fit,
     embeddings, all head fits, all evaluations, all seeds — as a single
     jitted XLA program (core/sweep_cell.py). Bit-identical RNG streams and
     math to run_condition_vmapped; only the program boundaries moved, so
     per-fit dispatch and host syncs (the dominant residual cost, docs/
-    PERF.md §4) disappear entirely."""
+    PERF.md §4) disappear entirely.
+
+    ``defer_artifacts=True`` returns a ``finish()`` closure instead of
+    running the artifacts phase (device->host fetch, rows, checkpoints,
+    CSVs) inline: the caller runs it concurrently with the NEXT cell's
+    device execution. On a relay-attached chip the artifacts phase is a
+    pure host-transfer wait (up to minutes for big-params datasets,
+    RESULTS.md) while the device sits idle — a 1-deep pipeline overlaps
+    the two."""
     from ..core.checkpoint import save_checkpoint
     from ..core.logging import log_training_csv
     from ..core.sweep_cell import CellJob, cell_rows, run_cell
@@ -652,44 +660,50 @@ def run_condition_onejit(
     print(f"  [{dataset_name}/{cond}] one-program cell ({s_count} seeds x "
           f"{len(jobs) + 1} fits) executed in {t_run - t0:.1f}s", flush=True)
 
-    # ---- host side: rows, checkpoints, CSV logs (same artifacts) ----
-    # ONE bulk device->host transfer of the whole cell result: the per-seed
-    # per-leaf slicing below then runs on numpy. Sliced device arrays would
-    # each pay a relay RTT (~28 ms, docs/PERF.md) — measured 62 s of
-    # artifact time per cell against 24 s of compute before this.
-    result = jax.device_get(result)
-    rows = cell_rows(jobs, result, y_te, seeds)
-    for i, seed in enumerate(seeds):
-        save_checkpoint(
-            f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
-            jax.tree.map(lambda a: a[i], result.backbone_params),
-            {"dataset": dataset_name, "seed": seed, "cond": cond}, wait=False,
-        )
-    for job in jobs:
-        out = result.jobs[job.name]
-        for s, seed in enumerate(seeds):
-            params_s = jax.tree.map(lambda a: a[s], out["params"])
-            model_name = (
-                f"{job.name}_fusion_ds{dataset_name}_seed{seed}"
-                + ("_conflict" if conflict else "_noise" if noise else "")
+    def finish(result=result):
+        # ---- host side: rows, checkpoints, CSV logs (same artifacts) ----
+        # ONE bulk device->host transfer of the whole cell result: the
+        # per-seed per-leaf slicing below then runs on numpy. Sliced device
+        # arrays would each pay a relay RTT (~28 ms, docs/PERF.md) —
+        # measured 62 s of artifact time per cell against 24 s of compute
+        # before this.
+        result = jax.device_get(result)
+        rows = cell_rows(jobs, result, y_te, seeds)
+        for i, seed in enumerate(seeds):
+            save_checkpoint(
+                f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",
+                jax.tree.map(lambda a: a[i], result.backbone_params),
+                {"dataset": dataset_name, "seed": seed, "cond": cond}, wait=False,
             )
-            log_training_csv(model_name, TrainResult(
-                params=None, train_loss=out["train_loss"][s],
-                val_loss=out["val_loss"][s], val_acc=out["val_acc"][s],
-                final_lr=out["final_lr"][s]))
-            info = rows[int(seed)][job.name]
-            info["path"] = save_checkpoint(
-                f"checkpoints/{model_name}", params_s,
-                {"model": job.name, "dataset": dataset_name, "seed": seed},
-                wait=False,
-            )
-            rows_by_seed[seed][job.name] = info
-        accs = [rows_by_seed[s][job.name]["fused"]["accuracy"] for s in seeds]
-        print(f"  [{dataset_name}/{cond}] {job.name} x{s_count}: fused_acc "
-              f"{np.mean(accs):.4f} +/- {np.std(accs):.4f}", flush=True)
-    print(f"  {dataset_name}/{cond} ({s_count} seeds) one-program cell done "
-          f"in {time.time() - t0:.1f}s (run {t_run - t0:.1f}s, "
-          f"artifacts {time.time() - t_run:.1f}s)", flush=True)
+        for job in jobs:
+            out = result.jobs[job.name]
+            for s, seed in enumerate(seeds):
+                params_s = jax.tree.map(lambda a: a[s], out["params"])
+                model_name = (
+                    f"{job.name}_fusion_ds{dataset_name}_seed{seed}"
+                    + ("_conflict" if conflict else "_noise" if noise else "")
+                )
+                log_training_csv(model_name, TrainResult(
+                    params=None, train_loss=out["train_loss"][s],
+                    val_loss=out["val_loss"][s], val_acc=out["val_acc"][s],
+                    final_lr=out["final_lr"][s]))
+                info = rows[int(seed)][job.name]
+                info["path"] = save_checkpoint(
+                    f"checkpoints/{model_name}", params_s,
+                    {"model": job.name, "dataset": dataset_name, "seed": seed},
+                    wait=False,
+                )
+                rows_by_seed[seed][job.name] = info
+            accs = [rows_by_seed[s][job.name]["fused"]["accuracy"] for s in seeds]
+            print(f"  [{dataset_name}/{cond}] {job.name} x{s_count}: fused_acc "
+                  f"{np.mean(accs):.4f} +/- {np.std(accs):.4f}", flush=True)
+        print(f"  {dataset_name}/{cond} ({s_count} seeds) one-program cell done "
+              f"in {time.time() - t0:.1f}s (run {t_run - t0:.1f}s, "
+              f"artifacts {time.time() - t_run:.1f}s)", flush=True)
+
+    if defer_artifacts:
+        return finish
+    finish()
 
 
 def main(argv=None):
@@ -902,6 +916,40 @@ def main(argv=None):
         tmp.write_text(json.dumps(rows))
         tmp.replace(args.rows_file)
 
+    # ---- 1-deep artifacts pipeline (one-program cells) ----
+    # A deferred artifacts phase (device->host fetch + checkpoints) runs in
+    # a background thread WHILE the next cell executes on the device: on a
+    # relay-attached chip the fetch is a minutes-scale pure-transfer wait
+    # with the device idle. At most ONE artifacts thread is outstanding
+    # (transfers stay serialized; rows-file writes stay ordered).
+    import threading
+
+    _pending: list = []
+
+    def _flush_pending():
+        if not _pending:
+            return
+        t, err = _pending.pop()
+        t.join()
+        if err:
+            raise err[0]
+
+    def _defer_artifacts(finish, cond_name, ds_name, rows_by_seed):
+        err: list = []
+
+        def work():
+            try:
+                finish()
+                for s in seeds:
+                    rows[s][cond_name][ds_name] = rows_by_seed[s]
+                _save_rows()
+            except BaseException as e:  # re-raised at the next flush
+                err.append(e)
+
+        t = threading.Thread(target=work, name="cell-artifacts", daemon=True)
+        t.start()
+        _pending.append((t, err))
+
     try:
         if args.vmap_seeds or args.one_program_cells:
             cell_runner = (run_condition_onejit if args.one_program_cells
@@ -926,7 +974,7 @@ def main(argv=None):
                               f"(--rows-file), skipping", flush=True)
                         continue
                     rows_by_seed = {s: {} for s in seeds}
-                    cell_runner(
+                    kw = dict(
                         C=C, seeds=seeds, dataset_name=ds_name, conflict=is_conflict,
                         quick=args.quick, jax=jax, jnp=jnp, np=np, builders=builders,
                         rows_by_seed=rows_by_seed, fused_dmvae=not args.no_fused_dmvae,
@@ -934,9 +982,16 @@ def main(argv=None):
                         intermediate_fusions=ifusions,
                         dtype=None if args.dtype == "float32" else args.dtype,
                     )
-                    for s in seeds:
-                        rows[s][cond_name][ds_name] = rows_by_seed[s]
-                    _save_rows()
+                    if args.one_program_cells:
+                        finish = cell_runner(**kw, defer_artifacts=True)
+                        _flush_pending()  # previous cell's transfer done
+                        _defer_artifacts(finish, cond_name, ds_name, rows_by_seed)
+                    else:
+                        cell_runner(**kw)
+                        for s in seeds:
+                            rows[s][cond_name][ds_name] = rows_by_seed[s]
+                        _save_rows()
+            _flush_pending()
         else:
             for seed in seeds:
                 rows.setdefault(seed, {})
