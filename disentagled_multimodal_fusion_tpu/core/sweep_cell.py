@@ -198,7 +198,6 @@ def run_cell(
 def cell_rows(
     jobs: Sequence[CellJob],
     result: CellResult,
-    y_te,
     seeds: Sequence[int],
 ) -> dict:
     """Fetch + format the cell result into per-seed metric dicts.

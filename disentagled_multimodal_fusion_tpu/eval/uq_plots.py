@@ -113,14 +113,15 @@ def write_uq_plots(rows, outdir, fmt: str = "svg") -> List[str]:
             # toward zero wherever any seed left the bin empty (renders as
             # zig-zags). Weighting by per-seed bin count uses exactly the
             # rows that landed in the bin.
+            withrel = [s for s in seeds if "reliability" in s]
             cnts = [np.asarray(s["reliability"]["count"], dtype=np.float64)
-                    for s in seeds if "reliability" in s]
+                    for s in withrel]
             if cnts:
                 cnt = np.sum(cnts, axis=0)
                 w_acc = np.sum([c_ * np.asarray(s["reliability"]["accuracy"])
-                                for c_, s in zip(cnts, seeds)], axis=0)
+                                for c_, s in zip(cnts, withrel)], axis=0)
                 w_conf = np.sum([c_ * np.asarray(s["reliability"]["confidence"])
-                                 for c_, s in zip(cnts, seeds)], axis=0)
+                                 for c_, s in zip(cnts, withrel)], axis=0)
                 mask = cnt > 0  # empty bins carry no calibration signal
                 safe = np.maximum(cnt, 1.0)
                 ax_rel.plot((w_conf / safe)[mask], (w_acc / safe)[mask],

@@ -668,7 +668,7 @@ def run_condition_onejit(
         # measured 62 s of artifact time per cell against 24 s of compute
         # before this.
         result = jax.device_get(result)
-        rows = cell_rows(jobs, result, y_te, seeds)
+        rows = cell_rows(jobs, result, seeds)
         for i, seed in enumerate(seeds):
             save_checkpoint(
                 f"checkpoints/dmvae_dataset{dataset_name}_seed{seed}_a1e-05_{cond}",

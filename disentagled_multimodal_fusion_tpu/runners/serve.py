@@ -219,6 +219,12 @@ def main(argv=None):
                              "uniformly from [1, this]")
     parser.add_argument("--daemon-delay-ms", type=float, default=2.0,
                         help="daemon flush deadline (see core/daemon.py)")
+    parser.add_argument("--http-port", type=int, default=None,
+                        help="after the bench, serve the model over HTTP "
+                             "until interrupted (core/http_front.py: "
+                             "POST /v1/infer, GET /v1/stats, /healthz; "
+                             "requests micro-batch through the daemon)")
+    parser.add_argument("--http-host", default="127.0.0.1")
     args = parser.parse_args(argv)
 
     configure()
@@ -256,6 +262,16 @@ def main(argv=None):
         "exported": exported,
     }
     print(json.dumps(report, indent=1))
+
+    if args.http_port is not None:
+        from ..core.daemon import ServingDaemon
+        from ..core.http_front import serve_forever
+        from ..core.serve import ServingEngine
+
+        engine = ServingEngine(infer, buckets=sorted(args.buckets))
+        engine.warmup(xs)
+        with ServingDaemon(engine, max_delay_ms=args.daemon_delay_ms) as daemon:
+            serve_forever(daemon, host=args.http_host, port=args.http_port)
     return report
 
 

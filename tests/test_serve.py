@@ -337,3 +337,120 @@ def test_mesh_sharded_serving_matches_single_device(views, probe_setup):
     for k in ref:
         assert out[k].shape == ref[k].shape, k
         np.testing.assert_allclose(out[k], ref[k], rtol=1e-5, atol=1e-6)
+
+
+# ---- HTTP front (core/http_front.py): the network edge ------------------
+
+
+def _http(method, port, path, body=None, timeout=30):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=None if body is None else _json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method=method,
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, _json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, _json.loads(e.read())
+
+
+@pytest.fixture()
+def http_front():
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+    from disentagled_multimodal_fusion_tpu.core.http_front import start_http_server
+
+    engine = _toy_engine()
+    with ServingDaemon(engine, max_delay_ms=2.0) as daemon:
+        server, port = start_http_server(daemon)
+        try:
+            yield port
+        finally:
+            server.shutdown()
+
+
+def test_http_infer_matches_engine(http_front):
+    """POST /v1/infer round-trips through daemon + engine row-exactly."""
+    x = np.random.RandomState(0).randn(5, 6).astype(np.float32)
+    status, resp = _http("POST", http_front, "/v1/infer",
+                         {"views": [x.tolist()]})
+    assert status == 200
+    assert resp["rows"] == 5
+    np.testing.assert_allclose(np.asarray(resp["y"]), x * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(resp["s"]), x.sum(1), rtol=1e-5)
+
+
+def test_http_fields_filter_and_errors(http_front):
+    x = [[1.0] * 6, [2.0] * 6]
+    status, resp = _http("POST", http_front, "/v1/infer",
+                         {"views": [x], "fields": ["s"]})
+    assert status == 200 and set(resp) == {"rows", "s"}
+    # unknown field -> 400 listing what exists
+    status, resp = _http("POST", http_front, "/v1/infer",
+                         {"views": [x], "fields": ["nope"]})
+    assert status == 400 and "nope" in resp["error"]
+    # malformed views (1-D row list, not (rows, dim)) -> 400 not 500
+    status, resp = _http("POST", http_front, "/v1/infer",
+                         {"views": [[1.0, 2.0]]})
+    assert status == 400 and "rows, dim" in resp["error"]
+    # missing body / bad route
+    status, _ = _http("POST", http_front, "/v1/wrong", {"views": [x]})
+    assert status == 404
+    status, resp = _http("GET", http_front, "/nope")
+    assert status == 404
+
+
+def test_http_stats_and_health(http_front):
+    status, h = _http("GET", http_front, "/healthz")
+    assert status == 200 and h["ok"] is True
+    x = [[0.0] * 6]
+    assert _http("POST", http_front, "/v1/infer", {"views": [x]})[0] == 200
+    status, st = _http("GET", http_front, "/v1/stats")
+    assert status == 200
+    assert st["requests"] >= 1 and st["buckets"] == [8, 16]
+    assert st["latency_ms"]["p50"] is not None
+
+
+def test_http_concurrent_clients_coalesce(http_front):
+    """N threads POSTing simultaneously produce correct per-client rows
+    (the daemon slices coalesced batches back row-exactly)."""
+    import threading
+
+    results = {}
+
+    def client(cid):
+        x = np.full((2, 6), float(cid), np.float32)
+        results[cid] = _http("POST", http_front, "/v1/infer",
+                             {"views": [x.tolist()]})
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    for cid, (status, resp) in results.items():
+        assert status == 200
+        np.testing.assert_allclose(
+            np.asarray(resp["y"]), np.full((2, 6), 2.0 * cid), rtol=1e-6
+        )
+
+
+def test_http_engine_failure_is_500():
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+    from disentagled_multimodal_fusion_tpu.core.http_front import start_http_server
+
+    def boom(xs):
+        raise RuntimeError("device on fire")
+
+    engine = ServingEngine(boom, buckets=(4,))
+    with ServingDaemon(engine, max_delay_ms=1.0) as daemon:
+        server, port = start_http_server(daemon)
+        try:
+            status, resp = _http("POST", port, "/v1/infer",
+                                 {"views": [[[1.0, 2.0, 3.0]]]})
+            assert status == 500 and "device on fire" in resp["error"]
+        finally:
+            server.shutdown()

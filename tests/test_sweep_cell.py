@@ -117,7 +117,7 @@ def test_cell_matches_separate_fits(synth):
     xs_tr, y_tr, xs_te, y_te = synth
     seeds = [0, 1]
     model, dm, jobs, result, keys = _build_cell(synth, seeds)
-    rows = cell_rows(jobs, result, y_te, seeds)
+    rows = cell_rows(jobs, result, seeds)
 
     n_train = int(xs_tr[0].shape[0])
     for si, seed in enumerate(seeds):
