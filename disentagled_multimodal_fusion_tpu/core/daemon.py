@@ -46,7 +46,12 @@ from typing import Optional, Sequence
 import jax
 import numpy as np
 
-__all__ = ["ServingDaemon"]
+__all__ = ["ServingDaemon", "QueueFullError"]
+
+
+class QueueFullError(RuntimeError):
+    """Raised by submit() when the queue is at max_queue_rows — the
+    backpressure signal (an HTTP front maps it to 503)."""
 
 
 class _Request:
@@ -76,18 +81,33 @@ class ServingDaemon:
     max_batch
         Hard cap on coalesced rows per device call (defaults to the
         engine's top bucket when available, else 1024).
+    max_queue_rows
+        Backpressure bound: submit() raises :class:`QueueFullError` when
+        the queue already holds this many rows (default 64× max_batch —
+        deep enough to ride out a slow batch, bounded enough that
+        overload surfaces as rejection, not OOM + divergent latency).
     """
 
     def __init__(self, engine, max_delay_ms: float = 2.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None,
+                 max_queue_rows: Optional[int] = None):
         if max_delay_ms < 0:
             raise ValueError(f"max_delay_ms must be >= 0: {max_delay_ms}")
         self.engine = engine
         self.max_delay = max_delay_ms / 1e3
         buckets = getattr(engine, "buckets", None)
-        self.max_batch = int(max_batch or (max(buckets) if buckets else 1024))
+        if max_batch is None:
+            max_batch = max(buckets) if buckets else 1024
+        self.max_batch = int(max_batch)
         if self.max_batch <= 0:
             raise ValueError(f"max_batch must be positive: {self.max_batch}")
+        self.max_queue_rows = int(
+            64 * self.max_batch if max_queue_rows is None else max_queue_rows
+        )
+        if self.max_queue_rows <= 0:
+            raise ValueError(
+                f"max_queue_rows must be positive: {self.max_queue_rows}"
+            )
         self._queue: deque = deque()
         self._queued_rows = 0
         self._lock = threading.Lock()
@@ -98,7 +118,6 @@ class ServingDaemon:
         self._n_batches = 0
         self._n_rows = 0
         self._latencies: deque = deque(maxlen=100_000)
-        self._batch_sizes: deque = deque(maxlen=100_000)
         self._thread = threading.Thread(
             target=self._loop, name="serving-daemon", daemon=True
         )
@@ -122,6 +141,11 @@ class ServingDaemon:
         with self._wake:
             if self._closed:
                 raise RuntimeError("daemon is closed")
+            if self._queued_rows >= self.max_queue_rows:
+                raise QueueFullError(
+                    f"queue at {self._queued_rows} rows "
+                    f"(max_queue_rows={self.max_queue_rows}); retry later"
+                )
             self._queue.append(req)
             self._queued_rows += n
             self._wake.notify()
@@ -177,6 +201,16 @@ class ServingDaemon:
             batch = self._take_batch()
             if not batch:
                 return
+            # Transition every rider to RUNNING first: a pending Future can
+            # be cancel()ed by its client, and set_result/set_exception on a
+            # cancelled Future raises InvalidStateError — which would kill
+            # this thread and hang every later request. After this call the
+            # Future can no longer be cancelled; riders whose client already
+            # cancelled are dropped from the batch.
+            batch = [r for r in batch
+                     if r.future.set_running_or_notify_cancel()]
+            if not batch:
+                continue
             try:
                 if len(batch) == 1:
                     xs = tuple(batch[0].xs)
@@ -186,7 +220,12 @@ class ServingDaemon:
                         for v in range(len(batch[0].xs))
                     )
                 out = self.engine(xs)
-                out = jax.device_get(out)  # one bulk transfer for the batch
+                # ServingEngine already returns host numpy (its pad/slice
+                # runs in numpy; see core/serve.py) — this is then a no-op
+                # traversal. It stays for the generic-callable contract: a
+                # bare jitted fn returns device arrays, and the slice-back
+                # below must not pay one transfer per rider.
+                out = jax.device_get(out)
             except Exception as e:  # engine failure fails every rider
                 for r in batch:
                     r.future.set_exception(e)
@@ -201,7 +240,6 @@ class ServingDaemon:
             self._n_requests += len(batch)
             self._n_batches += 1
             self._n_rows += off
-            self._batch_sizes.append(off)
 
     # ---- lifecycle / observability --------------------------------------
 
@@ -217,6 +255,7 @@ class ServingDaemon:
             "batches": self._n_batches,
             "rows": self._n_rows,
             "mean_batch_rows": round(self._n_rows / max(1, self._n_batches), 2),
+            "queued_rows": self._queued_rows,  # backpressure visibility
             "latency_ms": {"p50": pct(0.5), "p95": pct(0.95), "p99": pct(0.99)},
         }
 

@@ -46,6 +46,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from .daemon import QueueFullError
+
 __all__ = ["start_http_server", "serve_forever"]
 
 _MAX_BODY = 256 * 1024 * 1024  # loud refusal, not an OOM
@@ -115,8 +117,20 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
             return self._error(400, f"bad request: {e}")
 
+        # submit and result are handled separately so client-input errors
+        # (ValueError from the daemon's validation: row-count mismatch,
+        # empty batch) map to 400 and backpressure to 503, while only a
+        # genuine engine/daemon failure during execution becomes 500.
         try:
-            out = self.daemon.infer(xs)  # blocks; GIL released in device call
+            future = self.daemon.submit(xs)
+        except QueueFullError as e:
+            return self._error(503, f"overloaded: {e}")
+        except ValueError as e:
+            return self._error(400, f"bad request: {e}")
+        except RuntimeError as e:  # "daemon is closed" — shutting down
+            return self._error(503, f"unavailable: {e}")
+        try:
+            out = future.result()  # blocks; GIL released in device call
         except Exception as e:  # noqa: BLE001 — daemon/engine failure
             return self._error(500, f"inference failed: {e}")
 

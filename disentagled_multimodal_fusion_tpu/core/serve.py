@@ -161,8 +161,6 @@ def build_inference_fn(
     # 'data' axis (and, multi-host, by process count) — ServingEngine's
     # ``divisor`` handles that. ``jit_fn`` keeps the raw jitted program
     # reachable for jax.export (export_inference unwraps it).
-    import numpy as np
-
     from ..parallel.distributed import place_global
 
     row_spec = PartitionSpec("data")

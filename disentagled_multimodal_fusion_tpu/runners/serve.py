@@ -139,7 +139,17 @@ def _bench_bucket(infer, xs, b, reps):
     }
 
 
-def _bench_daemon(infer, xs, args):
+def _make_engine(infer, xs, args):
+    """One warmed ServingEngine shared by --daemon and --http-port (warmup
+    compiles/executes the whole bucket ladder — pay it once)."""
+    from ..core.serve import ServingEngine
+
+    engine = ServingEngine(infer, buckets=sorted(args.buckets))
+    engine.warmup(xs)
+    return engine
+
+
+def _bench_daemon(engine, xs, args):
     """Sustained concurrent-client load through the micro-batching daemon
     (core/daemon.py): --daemon-clients threads issue back-to-back requests
     of random size in [1, --daemon-max-rows] for --daemon-seconds; reports
@@ -153,10 +163,7 @@ def _bench_daemon(infer, xs, args):
     import numpy as np
 
     from ..core.daemon import ServingDaemon
-    from ..core.serve import ServingEngine
 
-    engine = ServingEngine(infer, buckets=sorted(args.buckets))
-    engine.warmup(xs)
     # clients slice request rows out of the corpus: keep it numpy so the
     # slicing is free (eager device slicing compiles per distinct shape)
     xs = tuple(np.asarray(x) for x in xs)
@@ -236,7 +243,9 @@ def main(argv=None):
     infer, xs = _load(args, C)
 
     rows = [_bench_bucket(infer, xs, b, args.reps) for b in sorted(args.buckets)]
-    daemon_stats = _bench_daemon(infer, xs, args) if args.daemon else None
+    engine = (_make_engine(infer, xs, args)
+              if (args.daemon or args.http_port is not None) else None)
+    daemon_stats = _bench_daemon(engine, xs, args) if args.daemon else None
 
     exported = []
     if args.export_dir:
@@ -266,10 +275,7 @@ def main(argv=None):
     if args.http_port is not None:
         from ..core.daemon import ServingDaemon
         from ..core.http_front import serve_forever
-        from ..core.serve import ServingEngine
 
-        engine = ServingEngine(infer, buckets=sorted(args.buckets))
-        engine.warmup(xs)
         with ServingDaemon(engine, max_delay_ms=args.daemon_delay_ms) as daemon:
             serve_forever(daemon, host=args.http_host, port=args.http_port)
     return report

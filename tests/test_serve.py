@@ -454,3 +454,57 @@ def test_http_engine_failure_is_500():
             assert status == 500 and "device on fire" in resp["error"]
         finally:
             server.shutdown()
+
+
+def test_daemon_survives_cancelled_future():
+    """A client cancelling its pending Future must not kill the dispatcher
+    (set_result on a cancelled Future raises InvalidStateError)."""
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+
+    with ServingDaemon(_toy_engine(delay=0.05), max_delay_ms=1.0) as d:
+        f = d.submit((np.zeros((1, 6), np.float32),))
+        f.cancel()  # may or may not win the race with the dispatcher
+        # the daemon must still serve later requests either way
+        x = np.ones((2, 6), np.float32)
+        out = d.infer((x,))
+        np.testing.assert_allclose(out["y"], x * 2.0)
+        assert d._thread.is_alive()
+
+
+def test_daemon_queue_full_backpressure():
+    from disentagled_multimodal_fusion_tpu.core.daemon import (
+        QueueFullError,
+        ServingDaemon,
+    )
+
+    # a slow engine + tiny queue bound: the second submit must be rejected
+    # loudly, not buffered without limit
+    d = ServingDaemon(_toy_engine(delay=0.2), max_delay_ms=0.0,
+                      max_queue_rows=4)
+    try:
+        futs = [d.submit((np.zeros((4, 6), np.float32),))]
+        with pytest.raises(QueueFullError):
+            for _ in range(50):  # the dispatcher may drain between submits
+                futs.append(d.submit((np.zeros((4, 6), np.float32),)))
+        assert d.stats()["queued_rows"] >= 0
+        for f in futs:
+            f.result(timeout=30)
+    finally:
+        d.close()
+
+
+def test_daemon_rejects_nonpositive_limits():
+    from disentagled_multimodal_fusion_tpu.core.daemon import ServingDaemon
+
+    with pytest.raises(ValueError, match="max_batch"):
+        ServingDaemon(_toy_engine(), max_batch=0)
+    with pytest.raises(ValueError, match="max_queue_rows"):
+        ServingDaemon(_toy_engine(), max_queue_rows=0)
+
+
+def test_http_request_errors_are_400_not_500(http_front):
+    # row-count mismatch across views is caught by the daemon's
+    # validation; the HTTP front must report it as a client error
+    status, resp = _http("POST", http_front, "/v1/infer",
+                         {"views": [[[1.0, 2.0]], [[1.0, 2.0], [3.0, 4.0]]]})
+    assert status == 400 and "disagree" in resp["error"]
