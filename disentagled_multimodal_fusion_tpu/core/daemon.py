@@ -197,6 +197,26 @@ class ServingDaemon:
                     self._wake.wait()
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        finally:
+            # If the dispatcher dies for ANY reason (including a
+            # BaseException the batch handler re-raised), don't leave the
+            # daemon half-alive: refuse further submits and fail everything
+            # still queued so no client blocks forever on a Future that can
+            # never resolve.
+            with self._wake:
+                self._closed = True
+                dead = list(self._queue)
+                self._queue.clear()
+                self._queued_rows = 0
+            for r in dead:
+                if r.future.set_running_or_notify_cancel():
+                    r.future.set_exception(
+                        RuntimeError("serving daemon dispatcher exited")
+                    )
+
+    def _loop_inner(self):
         while True:
             batch = self._take_batch()
             if not batch:
@@ -226,36 +246,44 @@ class ServingDaemon:
                 # bare jitted fn returns device arrays, and the slice-back
                 # below must not pay one transfer per rider.
                 out = jax.device_get(out)
-            except Exception as e:  # engine failure fails every rider
+            except BaseException as e:  # engine failure fails every rider
                 for r in batch:
                     r.future.set_exception(e)
+                if not isinstance(e, Exception):
+                    raise  # KeyboardInterrupt/SystemExit: die loudly
                 continue
             t_done = time.perf_counter()
             off = 0
-            for r in batch:
-                sl = jax.tree.map(lambda a, o=off, m=r.n: a[o:o + m], out)
-                off += r.n
-                r.future.set_result(sl)
-                self._latencies.append(t_done - r.t_in)
-            self._n_requests += len(batch)
-            self._n_batches += 1
-            self._n_rows += off
+            with self._lock:  # counters/latencies shared with stats()
+                for r in batch:
+                    sl = jax.tree.map(lambda a, o=off, m=r.n: a[o:o + m], out)
+                    off += r.n
+                    r.future.set_result(sl)
+                    self._latencies.append(t_done - r.t_in)
+                self._n_requests += len(batch)
+                self._n_batches += 1
+                self._n_rows += off
 
     # ---- lifecycle / observability --------------------------------------
 
     def stats(self) -> dict:
-        lats = sorted(self._latencies)
+        # snapshot under the dispatcher's lock: iterating the latency deque
+        # while _loop appends to it raises "deque mutated during iteration"
+        with self._lock:
+            lats = sorted(self._latencies)
+            n_req, n_batch, n_rows = self._n_requests, self._n_batches, self._n_rows
+            queued = self._queued_rows
 
         def pct(p):
             return round(lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3, 3) \
                 if lats else None
 
         return {
-            "requests": self._n_requests,
-            "batches": self._n_batches,
-            "rows": self._n_rows,
-            "mean_batch_rows": round(self._n_rows / max(1, self._n_batches), 2),
-            "queued_rows": self._queued_rows,  # backpressure visibility
+            "requests": n_req,
+            "batches": n_batch,
+            "rows": n_rows,
+            "mean_batch_rows": round(n_rows / max(1, n_batch), 2),
+            "queued_rows": queued,  # backpressure visibility
             "latency_ms": {"p50": pct(0.5), "p95": pct(0.95), "p99": pct(0.99)},
         }
 

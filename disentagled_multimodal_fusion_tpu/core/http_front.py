@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import threading
+from concurrent.futures import TimeoutError as _FuturesTimeout  # builtin alias on 3.11+
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Sequence
 
@@ -51,6 +52,7 @@ from .daemon import QueueFullError
 __all__ = ["start_http_server", "serve_forever"]
 
 _MAX_BODY = 256 * 1024 * 1024  # loud refusal, not an OOM
+_RESULT_TIMEOUT_S = 600.0  # a wedged device becomes 504, not a leaked thread
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -75,6 +77,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _error(self, code: int, msg: str) -> None:
+        # Error paths may not have drained the request body; under
+        # HTTP/1.1 keep-alive the leftover bytes would be parsed as the
+        # next request line, desynchronizing the connection. Errors are
+        # rare — close the connection instead of tracking drain state.
+        self.close_connection = True
         self._json(code, {"error": msg})
 
     # ---- routes ---------------------------------------------------------
@@ -130,7 +137,13 @@ class _Handler(BaseHTTPRequestHandler):
         except RuntimeError as e:  # "daemon is closed" — shutting down
             return self._error(503, f"unavailable: {e}")
         try:
-            out = future.result()  # blocks; GIL released in device call
+            # blocks; GIL released in the device call
+            out = future.result(timeout=_RESULT_TIMEOUT_S)
+        except (_FuturesTimeout, TimeoutError):
+            future.cancel()  # a no-op once RUNNING; bounds queued waits
+            return self._error(
+                504, f"inference timed out after {_RESULT_TIMEOUT_S:.0f}s"
+            )
         except Exception as e:  # noqa: BLE001 — daemon/engine failure
             return self._error(500, f"inference failed: {e}")
 

@@ -33,10 +33,9 @@ exactly the target.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Sequence
+from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
-import jax.numpy as jnp
 
 from ..eval.analysis import _eval_all
 from .train import OptimizerConfig, _cached_program, make_train_program
@@ -119,15 +118,11 @@ def run_cell(
         )
         bb_res = bb_prog(bb_params, bb_rng, {"xs": xs_tr}, None, None)
 
-        # ---- frozen-backbone embeddings (core.tasks.embed_dataset math) --
-        def embed(xs):
-            zc, zp_list = backbone_model.apply(
-                {"params": bb_res.params}, xs, method="get_embedding"
-            )
-            return zc, jnp.stack(zp_list, axis=1)
+        # ---- frozen-backbone embeddings (the one embed_dataset) ----------
+        from .tasks import embed_dataset
 
-        zc_tr, zp_tr = embed(xs_tr)
-        zc_te, zp_te = embed(xs_te)
+        zc_tr, zp_tr = embed_dataset(backbone_model, bb_res.params, xs_tr)
+        zc_te, zp_te = embed_dataset(backbone_model, bb_res.params, xs_te)
         data = {
             "probe": (
                 {"zc": zc_tr, "zp": zp_tr, "y": y_tr},

@@ -82,9 +82,15 @@ def risk_coverage(probs: jax.Array, target: jax.Array):
     order = jnp.argsort(-conf, stable=True)
     err_sorted = 1.0 - correct[order]
     cum_err = jnp.cumsum(err_sorted) / jnp.arange(1, n + 1, dtype=jnp.float32)
-    grid = jnp.asarray(RC_COVERAGE_GRID)
-    # row index covering fraction c: ceil(c*n) - 1
-    idx = jnp.clip(jnp.ceil(grid * n).astype(jnp.int32) - 1, 0, n - 1)
+    # row index covering fraction c: ceil(c*n) - 1. n is static, so the
+    # indices are computed in float64 numpy at trace time — a float32
+    # c*n can land on the wrong side of an integer (0.15*160 ->
+    # 24.000002) and cover one extra row vs the definition (and vs the
+    # float64 at() scalars below).
+    idx = jnp.asarray(np.clip(
+        np.ceil(np.asarray(RC_COVERAGE_GRID) * n).astype(np.int32) - 1,
+        0, n - 1,
+    ))
     risk_grid = cum_err[idx]
 
     def at(c):

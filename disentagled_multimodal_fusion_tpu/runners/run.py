@@ -317,6 +317,89 @@ def prepare_cell_data(*, C, seeds, dataset_name, conflict, noise, jnp, np):
     return xs_tr, xs_te, y_tr, y_te, dims, num_classes
 
 
+def build_cell_head_specs(
+    *, build_probe_task, build_disentangled_probe_task,
+    build_late_fusion_task, dims, num_classes, lr, probe_input_dim,
+    probe_hidden, probe_dropout, annealing_start, probe_epochs,
+    intermediate_fusions, dtype, dataset_name, seeds, rows_by_seed,
+):
+    """Canonical head-model roster for one sweep cell, shared by BOTH
+    seed-batched engines (run_condition_vmapped and run_condition_onejit).
+
+    Returns [(name, builder(key) -> task, kind, shared_layout)] with kind
+    'probe' (trains on embeddings) or 'raw' (trains on views), and
+    shared_layout the evaluation layout quirk (run.py:246-255 dispatches
+    by MODEL NAME: LateFusion is evaluated with-shared, its view 0
+    labeled "shared", for column parity; dmvae_dis and the intermediate
+    fusions are not). One source of truth matters here: the roster ORDER
+    fixes the per-model RNG fold indices (10+j init, 100+j train), so a
+    roster edited in one engine but not the other would silently break
+    their bit-identity. View-count-incompatible intermediate fusions are
+    skipped with a marker row (the --rows-file resume contract).
+    """
+    def probe_builder(agg, fused):
+        def b(k):
+            return build_probe_task(
+                rng=k, num_modalities=len(dims), num_classes=num_classes,
+                input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
+                dropout=probe_dropout, annealing_start=annealing_start,
+                aggregation=agg, fused=fused, num_epochs=probe_epochs,
+            )
+        return b
+
+    def dis_builder(k):
+        return build_disentangled_probe_task(
+            rng=k, num_modalities=len(dims), num_classes=num_classes,
+            input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
+            dropout=probe_dropout, annealing_start=annealing_start,
+            num_epochs=probe_epochs,
+        )
+
+    def lf_builder(agg):
+        def b(k):
+            return build_late_fusion_task(
+                rng=k, output_dims=dims, num_classes=num_classes,
+                hidden_dim=probe_hidden, dropout=probe_dropout, lr=lr,
+                annealing_start=annealing_start, aggregation=agg, fused=1.0,
+            )
+        return b
+
+    specs = [
+        ("dmvae_dis", dis_builder, "probe", False),
+        ("dmvae_cml", probe_builder("cml", 1.0), "probe", True),
+        ("dmvae_joint", probe_builder("joint", 1.0), "probe", True),
+        ("dbf_fusion", lf_builder("dbf"), "raw", True),
+        ("cml_fusion", lf_builder("cml"), "raw", True),
+        ("avg_fusion", lf_builder("avg"), "raw", True),
+    ]
+    if intermediate_fusions:
+        from ..core.tasks import build_intermediate_fusion_task
+        from ..models.fusions import build_fusion
+
+        def imf_builder(fname):
+            def b(k):
+                return build_intermediate_fusion_task(
+                    rng=k, output_dims=dims, num_classes=num_classes,
+                    dropout=probe_dropout, lr=lr,
+                    annealing_start=annealing_start,
+                    dtype=dtype, fusion=fname,
+                )
+            return b
+
+        for fname in intermediate_fusions:
+            jname = ("intermediate_fusion" if fname == "concat"
+                     else f"intermediate_{fname}")
+            try:
+                build_fusion(fname, dims)  # cheap view-count/size check
+            except ValueError as e:
+                print(f"  [{dataset_name}] skipping {jname}: {e}", flush=True)
+                for s_ in seeds:
+                    rows_by_seed[s_][jname] = {"skipped": str(e)}
+                continue
+            specs.append((jname, imf_builder(fname), "raw", False))
+    return specs
+
+
 def run_condition_vmapped(
     *, C, seeds, dataset_name, conflict, quick, jax, jnp, np, builders, rows_by_seed,
     fused_dmvae=True, noise=False, mesh=None, intermediate_fusions=(),
@@ -407,67 +490,23 @@ def run_condition_vmapped(
     lf_train = {"xs": xs_tr, "y": y_tr}
     lf_test = {"xs": xs_te, "y": y_te}
 
-    # ---- six model types, each vmapped over seeds ----
-    def probe_builder(agg, fused):
-        def b(k):
-            return build_probe_task(
-                rng=k, num_modalities=len(dims), num_classes=num_classes,
-                input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
-                dropout=probe_dropout, annealing_start=annealing_start,
-                aggregation=agg, fused=fused, num_epochs=probe_epochs,
-            )
-        return b
-
-    def dis_builder(k):
-        return build_disentangled_probe_task(
-            rng=k, num_modalities=len(dims), num_classes=num_classes,
-            input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
-            dropout=probe_dropout, annealing_start=annealing_start,
-            num_epochs=probe_epochs,
-        )
-
-    def lf_builder(agg):
-        def b(k):
-            return build_late_fusion_task(
-                rng=k, output_dims=dims, num_classes=num_classes,
-                hidden_dim=probe_hidden, dropout=probe_dropout, lr=lr,
-                annealing_start=annealing_start, aggregation=agg, fused=1.0,
-            )
-        return b
-
-    jobs = [
-        ("dmvae_dis", dis_builder, probe_train, probe_test),
-        ("dmvae_cml", probe_builder("cml", 1.0), probe_train, probe_test),
-        ("dmvae_joint", probe_builder("joint", 1.0), probe_train, probe_test),
-        ("dbf_fusion", lf_builder("dbf"), lf_train, lf_test),
-        ("cml_fusion", lf_builder("cml"), lf_train, lf_test),
-        ("avg_fusion", lf_builder("avg"), lf_train, lf_test),
-    ]
-    if intermediate_fusions:
-        from ..core.tasks import build_intermediate_fusion_task
-        from ..models.fusions import build_fusion
-
-        def imf_builder(fname):
-            def b(k):
-                return build_intermediate_fusion_task(
-                    rng=k, output_dims=dims, num_classes=num_classes,
-                    dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
-                    dtype=dtype, fusion=fname,
-                )
-            return b
-
-        for fname in intermediate_fusions:
-            jname = ("intermediate_fusion" if fname == "concat"
-                     else f"intermediate_{fname}")
-            try:
-                build_fusion(fname, dims)  # cheap view-count/size check
-            except ValueError as e:
-                print(f"  [{dataset_name}] skipping {jname}: {e}", flush=True)
-                for s_ in seeds:
-                    rows_by_seed[s_][jname] = {"skipped": str(e)}
-                continue
-            jobs.append((jname, imf_builder(fname), lf_train, lf_test))
-    for j, (name, builder, tr_d, te_d) in enumerate(jobs):
+    # ---- six model types, each vmapped over seeds (the roster comes
+    # from build_cell_head_specs — ONE source of truth with the
+    # one-program engine, so their RNG fold indices can't drift) ----
+    specs = build_cell_head_specs(
+        build_probe_task=build_probe_task,
+        build_disentangled_probe_task=build_disentangled_probe_task,
+        build_late_fusion_task=build_late_fusion_task,
+        dims=dims, num_classes=num_classes, lr=lr,
+        probe_input_dim=probe_input_dim, probe_hidden=probe_hidden,
+        probe_dropout=probe_dropout, annealing_start=annealing_start,
+        probe_epochs=probe_epochs, intermediate_fusions=intermediate_fusions,
+        dtype=dtype, dataset_name=dataset_name, seeds=seeds,
+        rows_by_seed=rows_by_seed,
+    )
+    data_for = {"probe": (probe_train, probe_test), "raw": (lf_train, lf_test)}
+    for j, (name, builder, kind, shared_layout) in enumerate(specs):
+        tr_d, te_d = data_for[kind]
         tasks = [builder(jax.random.fold_in(k, 10 + j)) for k in seed_keys]
         task = tasks[0]
         params_stack = stack_params([t.params for t in tasks])
@@ -481,10 +520,10 @@ def run_condition_vmapped(
         for s, seed in enumerate(seeds):
             params_s = jax.tree.map(lambda a: a[s], res_m.params)
             te_s = jax.tree.map(lambda a: a[s], te_d)
-            if name == "dmvae_dis" or name.startswith("intermediate"):
-                info = evaluate_subjective_model(task, params_s, te_s)
-            else:
+            if shared_layout:
                 info = evaluate_subjective_model_with_shared(task, params_s, te_s)
+            else:
+                info = evaluate_subjective_model(task, params_s, te_s)
             model_name = (
                 f"{name}_fusion_ds{dataset_name}_seed{seed}"
                 + ("_conflict" if conflict else "_noise" if noise else "")
@@ -576,66 +615,20 @@ def run_condition_onejit(
             "sequential path"
         )
 
-    # ---- head jobs (same order + rng derivations as the vmapped path) ----
-    def probe_builder(agg, fused):
-        def b(k):
-            return build_probe_task(
-                rng=k, num_modalities=len(dims), num_classes=num_classes,
-                input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
-                dropout=probe_dropout, annealing_start=annealing_start,
-                aggregation=agg, fused=fused, num_epochs=probe_epochs,
-            )
-        return b
-
-    def dis_builder(k):
-        return build_disentangled_probe_task(
-            rng=k, num_modalities=len(dims), num_classes=num_classes,
-            input_dim=probe_input_dim, hidden_dim=probe_hidden, lr=lr,
-            dropout=probe_dropout, annealing_start=annealing_start,
-            num_epochs=probe_epochs,
-        )
-
-    def lf_builder(agg):
-        def b(k):
-            return build_late_fusion_task(
-                rng=k, output_dims=dims, num_classes=num_classes,
-                hidden_dim=probe_hidden, dropout=probe_dropout, lr=lr,
-                annealing_start=annealing_start, aggregation=agg, fused=1.0,
-            )
-        return b
-
-    specs = [
-        ("dmvae_dis", dis_builder, "probe", False),
-        ("dmvae_cml", probe_builder("cml", 1.0), "probe", True),
-        ("dmvae_joint", probe_builder("joint", 1.0), "probe", True),
-        ("dbf_fusion", lf_builder("dbf"), "raw", True),
-        ("cml_fusion", lf_builder("cml"), "raw", True),
-        ("avg_fusion", lf_builder("avg"), "raw", True),
-    ]
-    if intermediate_fusions:
-        from ..core.tasks import build_intermediate_fusion_task
-        from ..models.fusions import build_fusion
-
-        def imf_builder(fname):
-            def b(k):
-                return build_intermediate_fusion_task(
-                    rng=k, output_dims=dims, num_classes=num_classes,
-                    dropout=probe_dropout, lr=lr, annealing_start=annealing_start,
-                    dtype=dtype, fusion=fname,
-                )
-            return b
-
-        for fname in intermediate_fusions:
-            jname = ("intermediate_fusion" if fname == "concat"
-                     else f"intermediate_{fname}")
-            try:
-                build_fusion(fname, dims)
-            except ValueError as e:
-                print(f"  [{dataset_name}] skipping {jname}: {e}", flush=True)
-                for s_ in seeds:
-                    rows_by_seed[s_][jname] = {"skipped": str(e)}
-                continue
-            specs.append((jname, imf_builder(fname), "raw", False))
+    # ---- head jobs (the roster comes from build_cell_head_specs — ONE
+    # source of truth with the vmapped engine, same order + rng
+    # derivations by construction) ----
+    specs = build_cell_head_specs(
+        build_probe_task=build_probe_task,
+        build_disentangled_probe_task=build_disentangled_probe_task,
+        build_late_fusion_task=build_late_fusion_task,
+        dims=dims, num_classes=num_classes, lr=lr,
+        probe_input_dim=probe_input_dim, probe_hidden=probe_hidden,
+        probe_dropout=probe_dropout, annealing_start=annealing_start,
+        probe_epochs=probe_epochs, intermediate_fusions=intermediate_fusions,
+        dtype=dtype, dataset_name=dataset_name, seeds=seeds,
+        rows_by_seed=rows_by_seed,
+    )
 
     jobs = []
     for j, (name, builder, kind, shared_layout) in enumerate(specs):
